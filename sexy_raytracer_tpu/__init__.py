@@ -1,0 +1,20 @@
+"""sexy-raytracer-tpu: a TPU-native differentiable path tracer in JAX.
+
+A from-scratch re-design of the capability set of swishersnaaake/sexy-raytracer
+(a single-threaded header-only C++ CPU ray tracer) as an idiomatic
+JAX/XLA/Pallas framework:
+
+  * flat SoA scenes (the reference's ``hittableIndexed`` concept done right),
+  * wavefront path tracing as a fixed-depth ``lax.scan``,
+  * Pallas hit-finding kernels (intersection = non-differentiable index
+    search; hit data recomputed differentiably in jnp),
+  * ``jax.sharding`` data-parallel rendering over device meshes,
+  * end-to-end pixel gradients for inverse rendering.
+
+Reference parity notes cite files as ``<file>:<line>`` into /root/reference.
+"""
+
+__version__ = "0.1.0"
+
+from sexy_raytracer_tpu.utils.config import RenderConfig  # noqa: F401
+from sexy_raytracer_tpu.render.camera import Camera  # noqa: F401

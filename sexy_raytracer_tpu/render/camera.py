@@ -1,0 +1,109 @@
+"""Thin-lens camera with shutter-time sampling.
+
+Reference camera.h:10-50 re-designed as a JAX pytree: the camera's derived
+basis vectors are arrays, so camera parameters can be differentiated and the
+ray generator vectorizes over whole pixel fronts.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sexy_raytracer_tpu.utils import rng
+from sexy_raytracer_tpu.utils.config import CameraConfig
+from sexy_raytracer_tpu.utils.mathx import deg2rad, unit_vector
+
+
+class Camera(NamedTuple):
+    origin: jnp.ndarray       # [3]
+    lower_left: jnp.ndarray   # [3]
+    horizontal: jnp.ndarray   # [3]
+    vertical: jnp.ndarray     # [3]
+    u_axis: jnp.ndarray       # [3] lens-offset basis (camera.h:25 'hor')
+    v_axis: jnp.ndarray       # [3] lens-offset basis (camera.h:26 'vert')
+    lens_radius: jnp.ndarray  # scalar
+    time0: jnp.ndarray        # scalar
+    time1: jnp.ndarray        # scalar
+
+    @staticmethod
+    def create(
+        eye,
+        look_at,
+        up,
+        vfov_degrees,
+        aspect,
+        aperture,
+        focus_dist,
+        time0=0.0,
+        time1=1.0,
+    ) -> "Camera":
+        # reference camera.h:19-37
+        eye = np.asarray(eye, np.float32)
+        look_at = np.asarray(look_at, np.float32)
+        up = np.asarray(up, np.float32)
+        theta = deg2rad(vfov_degrees)
+        h = np.tan(theta / 2.0)
+        vp_height = 2.0 * h
+        vp_width = aspect * vp_height
+
+        def unit(v):
+            n = np.linalg.norm(v)
+            return v if n == 0 else v / n
+
+        w = unit(eye - look_at)
+        u = unit(np.cross(up, w))
+        v = unit(np.cross(w, u))
+
+        horizontal = focus_dist * vp_width * u
+        vertical = focus_dist * vp_height * v
+        lower_left = eye - horizontal / 2.0 - vertical / 2.0 - focus_dist * w
+        return Camera(
+            origin=jnp.asarray(eye),
+            lower_left=jnp.asarray(lower_left),
+            horizontal=jnp.asarray(horizontal),
+            vertical=jnp.asarray(vertical),
+            u_axis=jnp.asarray(u),
+            v_axis=jnp.asarray(v),
+            lens_radius=jnp.float32(aperture / 2.0),
+            time0=jnp.float32(time0),
+            time1=jnp.float32(time1),
+        )
+
+    @staticmethod
+    def from_config(cfg: CameraConfig, aspect: float) -> "Camera":
+        return Camera.create(
+            cfg.eye,
+            cfg.look_at,
+            cfg.up,
+            cfg.vfov_degrees,
+            aspect,
+            cfg.aperture,
+            cfg.focus_dist,
+            cfg.time0,
+            cfg.time1,
+        )
+
+    def get_rays(self, s, t, keys):
+        """Generate rays for viewport coords ``s``/``t`` [R] (camera.h:40-50).
+
+        ``keys`` is a [R] array of PRNG keys (one per ray, counter-based, see
+        utils/rng.py). Directions are deliberately left unnormalized, like
+        the reference.
+        """
+        k_disk, k_time = rng.split_per_ray(keys, 2)
+        rd = self.lens_radius * rng.per_ray_in_unit_disk(k_disk)
+        offset = rd[..., 0:1] * self.u_axis + rd[..., 1:2] * self.v_axis
+        org = jnp.broadcast_to(self.origin, offset.shape) + offset
+        direction = (
+            self.lower_left
+            + s[..., None] * self.horizontal
+            + t[..., None] * self.vertical
+            - self.origin
+            - offset
+        )
+        time = rng.per_ray_uniform(k_time, self.time0, self.time1)
+        return org, direction, time

@@ -1,0 +1,78 @@
+"""Wavefront path-tracing integrator.
+
+The reference's depth-4 recursion (reference main.cpp:33-52) rewritten as a
+fixed-depth ``lax.scan`` over bounce steps — exactly equivalent because
+depth-out returns black (main.cpp:36-37), so a fixed-length loop with an
+``alive`` mask computes the same sum:
+
+    radiance = sum_k emitted_k * prod_{j<k} att_j   (+ background on miss)
+
+SoA carry: (origin, dir, throughput, radiance, alive). Ray ``time`` is fixed
+along a path (every scatter constructs the next ray with ``rIn.time``,
+material.h:93,124,209).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sexy_raytracer_tpu.ops.intersect import find_hit, hit_data
+from sexy_raytracer_tpu.ops.shade import shade
+from sexy_raytracer_tpu.utils import rng
+
+
+def trace_rays(
+    scene,
+    org,
+    dir,
+    time,
+    keys,
+    background,
+    max_bounce: int,
+    method: str = "auto",
+):
+    """Path-trace a wavefront of rays; returns radiance ``[R,3]``.
+
+    ``keys``: [R] per-ray PRNG keys; per-bounce randomness is derived by
+    folding in the bounce index, keeping every sample counter-based.
+    """
+    R = org.shape[0]
+    background = jnp.asarray(background, jnp.float32)
+
+    def bounce(carry, bounce_idx):
+        org, dir, thr, rad, alive = carry
+
+        prim, _t = find_hit(scene, org, dir, time, method=method)
+        rec = hit_data(scene, org, dir, time, prim)
+
+        bkeys = jax.vmap(lambda k: jax.random.fold_in(k, 100 + bounce_idx))(keys)
+        k_unit, k_ball, k_uni = rng.split_per_ray(bkeys, 3)
+        rand = {
+            "unit_vector": rng.per_ray_unit_vector(k_unit),
+            "unit_ball": rng.per_ray_in_unit_sphere(k_ball),
+            "uniform": rng.per_ray_uniform(k_uni),
+        }
+        samp = shade(scene, rec, dir, rand)
+
+        miss = alive & ~rec.hit
+        rad = rad + jnp.where(miss[..., None], thr * background, 0.0)
+        rad = rad + jnp.where((alive & rec.hit)[..., None], thr * samp.emitted, 0.0)
+
+        alive_next = alive & rec.hit & samp.scattered
+        thr = jnp.where(alive_next[..., None], thr * samp.attenuation, thr)
+        org = jnp.where(alive_next[..., None], rec.p, org)
+        dir = jnp.where(alive_next[..., None], samp.direction, dir)
+        return (org, dir, thr, rad, alive_next), None
+
+    init = (
+        org,
+        dir,
+        jnp.ones((R, 3), jnp.float32),
+        jnp.zeros((R, 3), jnp.float32),
+        jnp.ones((R,), bool),
+    )
+    (_, _, _, radiance, _), _ = jax.lax.scan(
+        bounce, init, jnp.arange(max_bounce, dtype=jnp.int32)
+    )
+    return radiance

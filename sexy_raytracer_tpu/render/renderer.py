@@ -1,0 +1,148 @@
+"""Render driver: pixel grid -> chunked wavefronts -> accumulated image.
+
+The reference's triple pixel/sample loop (reference main.cpp:200-227) becomes
+a flat pixel-id grid processed in fixed-size ray chunks, each chunk a single
+compiled dispatch that traces ``samples_per_batch`` samples for every pixel
+and accumulates on device. Sample uids (pixel * spp + sample) key the
+counter-based RNG, so the image is independent of chunking and sharding.
+
+Pixel-to-viewport mapping replicates main.cpp:209-211:
+    u = (x + rand) / (W-1),  v = ((H - y) + rand) / (H-1)
+(with the reference's vertical flip, so row 0 is the top of the image).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sexy_raytracer_tpu.render.camera import Camera
+from sexy_raytracer_tpu.render.integrator import trace_rays
+from sexy_raytracer_tpu.utils import color as colorlib
+from sexy_raytracer_tpu.utils import rng
+from sexy_raytracer_tpu.utils.config import RenderConfig
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width",
+        "height",
+        "spb",
+        "spp_total",
+        "max_bounce",
+        "method",
+    ),
+)
+def render_chunk(
+    scene,
+    camera: Camera,
+    pixel_ids,
+    sample_start,
+    base_key,
+    background,
+    *,
+    width: int,
+    height: int,
+    spb: int,
+    spp_total: int,
+    max_bounce: int,
+    method: str,
+):
+    """Trace ``spb`` samples for each pixel id; returns summed radiance [C,3]."""
+    C = pixel_ids.shape[0]
+    pid = jnp.repeat(pixel_ids, spb)
+    sid = sample_start + jnp.tile(jnp.arange(spb, dtype=jnp.int32), C)
+    uid = pid * spp_total + sid
+    keys = rng.ray_keys(base_key, uid)
+    k_ju, k_jv, k_cam, k_path = rng.split_per_ray(keys, 4)
+
+    x = (pid % width).astype(jnp.float32)
+    y = (pid // width).astype(jnp.float32)
+    u = (x + rng.per_ray_uniform(k_ju)) / (width - 1)
+    v = ((height - y) + rng.per_ray_uniform(k_jv)) / (height - 1)
+
+    org, direction, time = camera.get_rays(u, v, k_cam)
+    radiance = trace_rays(
+        scene, org, direction, time, k_path, background, max_bounce, method
+    )
+    return radiance.reshape(C, spb, 3).sum(axis=1)
+
+
+def render(
+    scene,
+    config: RenderConfig,
+    camera: Camera | None = None,
+    method: str = "auto",
+    progress: bool = False,
+) -> np.ndarray:
+    """Full render -> resolved (gamma-encoded) float image ``[H,W,3]``."""
+    accum = render_accumulate(scene, config, camera, method, progress)
+    return np.asarray(colorlib.resolve(accum, config.samples_per_pixel))
+
+
+def render_accumulate(
+    scene,
+    config: RenderConfig,
+    camera: Camera | None = None,
+    method: str = "auto",
+    progress: bool = False,
+):
+    """Raw accumulated radiance (sum over samples) ``[H,W,3]`` numpy array."""
+    W, H = config.width, config.height
+    spp = config.samples_per_pixel
+    spb = min(config.samples_per_batch, spp)
+    if camera is None:
+        camera = Camera.from_config(config.camera, config.aspect)
+    base_key = jax.random.key(config.seed)
+    background = jnp.asarray(config.background, jnp.float32)
+
+    P = W * H
+    chunk = max(1, min(config.rays_per_chunk // spb, P))
+    accum = np.zeros((P, 3), np.float32)
+
+    for start in range(0, P, chunk):
+        ids = np.arange(start, min(start + chunk, P), dtype=np.int32)
+        n_valid = ids.shape[0]
+        if n_valid < chunk:
+            ids = np.pad(ids, (0, chunk - n_valid))
+        ids_dev = jnp.asarray(ids)
+        chunk_accum = jnp.zeros((chunk, 3), jnp.float32)
+        for s0 in range(0, spp, spb):
+            n_s = min(spb, spp - s0)  # final batch may be partial
+            out = render_chunk(
+                scene,
+                camera,
+                ids_dev,
+                jnp.int32(s0),
+                base_key,
+                background,
+                width=W,
+                height=H,
+                spb=n_s,
+                spp_total=spp,
+                max_bounce=config.max_bounce,
+                method=method,
+            )
+            chunk_accum = chunk_accum + out
+        accum[start : start + n_valid] = np.asarray(chunk_accum)[:n_valid]
+        if progress:
+            done = min(start + chunk, P)
+            print(f"\rpixels {done}/{P}", end="", flush=True)
+    if progress:
+        print()
+    return accum.reshape(H, W, 3)
+
+
+def render_image(
+    scene,
+    config: RenderConfig,
+    camera: Camera | None = None,
+    method: str = "auto",
+    progress: bool = False,
+) -> np.ndarray:
+    """Full render -> uint8 RGB image ``[H,W,3]`` (gamma-2, reference color.h)."""
+    return colorlib.to_uint8(render(scene, config, camera, method, progress))

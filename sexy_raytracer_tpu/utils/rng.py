@@ -1,0 +1,99 @@
+"""Counter-based random sampling for the path tracer.
+
+The reference consumes one global ``std::mt19937`` sequentially
+(reference globals.h:30-43) — unreproducible on a parallel machine. We use
+JAX's threefry counter-based RNG keyed by (pixel-batch, sample, bounce), which
+is deterministic, order-independent, and shard-friendly: every ray derives its
+randomness from its own coordinates, so resharding the ray batch across chips
+does not change the image.
+
+Distributions match the reference's *distributions* (not sequences):
+
+  * ``random_unit_vector`` — uniform on S^2 (reference vec3.h:72 draws a
+    rejection-sampled point in the unit ball and normalizes it, which is
+    exactly uniform on the sphere).
+  * ``random_in_unit_sphere`` — uniform in the unit ball (reference
+    vec3.h:62, used for metal fuzz).
+  * ``random_in_unit_disk`` — uniform in the unit disk (reference vec3.h:88,
+    thin-lens aperture sampling).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sexy_raytracer_tpu.utils.mathx import PI
+
+
+def uniform(key, shape, lo=0.0, hi=1.0):
+    return jax.random.uniform(key, shape, minval=lo, maxval=hi, dtype=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Per-ray draws: each ray owns a PRNG key derived from its (pixel, sample)
+# uid, so every sample is independent of batch layout/sharding. All helpers
+# take a [R] key array and return [R]-leading arrays.
+# ---------------------------------------------------------------------------
+
+def ray_keys(base_key, ray_uid):
+    """Derive one key per ray from its integer uid (counter-based)."""
+    return jax.vmap(lambda u: jax.random.fold_in(base_key, u))(ray_uid)
+
+
+def split_per_ray(keys, n):
+    """Split each per-ray key into ``n`` subkeys: returns list of [R] keys."""
+    return [jax.vmap(lambda k, i=i: jax.random.fold_in(k, i))(keys) for i in range(n)]
+
+
+def per_ray_uniform(keys, lo=0.0, hi=1.0):
+    return jax.vmap(
+        lambda k: jax.random.uniform(k, (), minval=lo, maxval=hi, dtype=jnp.float32)
+    )(keys)
+
+
+def per_ray_unit_vector(keys):
+    g = jax.vmap(lambda k: jax.random.normal(k, (3,), dtype=jnp.float32))(keys)
+    norm = jnp.sqrt(jnp.sum(g * g, axis=-1, keepdims=True))
+    return g / jnp.maximum(norm, 1e-12)
+
+
+def per_ray_in_unit_sphere(keys):
+    k_dir, k_r = split_per_ray(keys, 2)
+    d = per_ray_unit_vector(k_dir)
+    r = per_ray_uniform(k_r) ** (1.0 / 3.0)
+    return d * r[..., None]
+
+
+def per_ray_in_unit_disk(keys):
+    k_theta, k_r = split_per_ray(keys, 2)
+    theta = per_ray_uniform(k_theta, 0.0, 2.0 * PI)
+    r = jnp.sqrt(per_ray_uniform(k_r))
+    return jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta)], axis=-1)
+
+
+def random_unit_vector(key, shape):
+    """Uniform directions on the unit sphere, shape ``shape + (3,)``."""
+    g = jax.random.normal(key, shape + (3,), dtype=jnp.float32)
+    norm = jnp.sqrt(jnp.sum(g * g, axis=-1, keepdims=True))
+    norm = jnp.maximum(norm, 1e-12)
+    return g / norm
+
+
+def random_in_unit_sphere(key, shape):
+    """Uniform points inside the unit ball, shape ``shape + (3,)``."""
+    k_dir, k_r = jax.random.split(key)
+    d = random_unit_vector(k_dir, shape)
+    # radius ~ u^(1/3) gives uniform density in the ball
+    r = jax.random.uniform(k_r, shape, dtype=jnp.float32) ** (1.0 / 3.0)
+    return d * r[..., None]
+
+
+def random_in_unit_disk(key, shape):
+    """Uniform points inside the unit disk, shape ``shape + (2,)``."""
+    k_theta, k_r = jax.random.split(key)
+    theta = jax.random.uniform(
+        k_theta, shape, minval=0.0, maxval=2.0 * PI, dtype=jnp.float32
+    )
+    r = jnp.sqrt(jax.random.uniform(k_r, shape, dtype=jnp.float32))
+    return jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta)], axis=-1)
