@@ -1,0 +1,228 @@
+"""The five BASELINE acceptance scenes as named presets.
+
+The reference configures scenes by editing ``#if`` blocks in main.cpp
+(reference main.cpp:60-80); here each BASELINE.json config is a function
+returning ``(SceneData, RenderConfig)``.
+
+Asset files are read from ``data_dir`` (default: $SRT_DATA_DIR or the
+reference's data directory) — the framework itself carries no binary assets.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from sexy_raytracer_tpu.models.gltf import load_gltf
+from sexy_raytracer_tpu.models.scene import SceneBuilder
+from sexy_raytracer_tpu.utils.config import CameraConfig, RenderConfig
+from sexy_raytracer_tpu.utils.png import read_png
+
+
+def default_data_dir() -> str:
+    return os.environ.get("SRT_DATA_DIR", "/root/reference/data")
+
+
+def _add_ground_and_lights(b: SceneBuilder) -> None:
+    """Shared furniture of the flagship scene (reference main.cpp:89-144)."""
+    checker = b.add_checker_texture((0.2, 0.3, 0.1), (0.9, 0.9, 0.9))
+    ground = b.add_pbr_material(albedo_tex=checker)
+    b.add_sphere((0.0, -1000.0, 0.0), 1000.0, ground, time0=0.0, time1=1.0)
+    light = b.add_light_material(color=(250.2, 220.9, 110.2))
+    b.add_sphere((-7.0, 4.0, 6.0), 1.0, light)
+
+
+def _add_iron_and_metal(b: SceneBuilder, data_dir: str) -> None:
+    # rustediron PBR sphere (main.cpp:133-141). The reference asks for
+    # "-2x1"-suffixed files that do not exist in data/, so its textures are
+    # magenta sentinels — reproduced faithfully via read_png -> None.
+    iron_albedo = b.add_image_texture(
+        read_png(os.path.join(data_dir, "rustediron2_basecolor-2x1.png"), 3)
+    )
+    iron_normal = b.add_image_texture(
+        read_png(os.path.join(data_dir, "rustediron2_normal-2x1.png"), 3)
+    )
+    iron_metal = b.add_image_texture(
+        read_png(os.path.join(data_dir, "rustediron2_metallic-2x1.png"), 1)
+    )
+    iron_rough = b.add_image_texture(
+        read_png(os.path.join(data_dir, "rustediron2_roughness-2x1.png"), 1)
+    )
+    iron = b.add_pbr_material(
+        albedo_tex=iron_albedo,
+        normal_tex=iron_normal,
+        metallic_tex=iron_metal,
+        roughness_tex=iron_rough,
+        base_color=(1.0, 1.0, 1.0, 1.0),
+    )
+    b.add_sphere((-3.0, 1.0, 0.0), 1.0, iron)
+
+    metal = b.add_metal_material((0.7, 0.6, 0.5), 0.0)  # main.cpp:143-144
+    b.add_sphere((3.0, 1.0, 0.0), 1.0, metal)
+
+
+def _flagship_camera() -> CameraConfig:
+    # reference main.cpp:163-172
+    return CameraConfig(
+        eye=(0.0, 3.0, 5.0),
+        look_at=(0.0, 2.5, 0.0),
+        up=(0.0, 1.0, 0.0),
+        vfov_degrees=70.0,
+        aperture=0.1,
+        focus_dist=10.0,
+        time0=0.0,
+        time1=1.0,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Config 1: Shirley random-spheres, 240p / 16 spp / 4 bounces (sphere-only)
+# ---------------------------------------------------------------------------
+
+def shirley_spheres(seed: int = 4, spp: int = 16, height: int = 240):
+    """The book's random-sphere field (reference main.cpp:92-122, commented
+    but fully present). Deterministic via a seeded numpy Generator instead
+    of the reference's global mt19937.
+    """
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder()
+
+    checker = b.add_checker_texture((0.2, 0.3, 0.1), (0.9, 0.9, 0.9))
+    b.add_sphere((0, -1000, 0), 1000.0, b.add_pbr_material(albedo_tex=checker))
+
+    for a in range(-11, 11):
+        for bb in range(-11, 11):
+            choose = rng.random()
+            center = np.array(
+                [a + 0.9 * rng.random(), 0.2, bb + 0.9 * rng.random()]
+            )
+            if np.linalg.norm(center - np.array([4.0, 0.2, 0.0])) <= 0.9:
+                continue
+            if choose < 0.8:
+                albedo = rng.random(3) * rng.random(3)
+                # reference ctor pbrMetallicRoughness(color3f) wraps the
+                # color in a solidColor albedo map (material.h:25-28)
+                mat = b.add_pbr_material(
+                    albedo_tex=b.add_solid_texture(albedo)
+                )
+                center2 = center + np.array([0.0, rng.random() * 0.5, 0.0])
+                b.add_sphere(center, 0.2, mat, center1=center2)
+            elif choose < 0.95:
+                albedo = 0.5 + 0.5 * rng.random(3)
+                fuzz = 0.5 * rng.random()
+                b.add_sphere(center, 0.2, b.add_metal_material(albedo, fuzz))
+            else:
+                b.add_sphere(center, 0.2, b.add_dielectric_material(1.5))
+
+    b.add_sphere((0, 1, 0), 1.0, b.add_dielectric_material(1.5))
+    b.add_sphere(
+        (-4, 1, 0),
+        1.0,
+        b.add_pbr_material(albedo_tex=b.add_solid_texture((0.4, 0.2, 0.1))),
+    )
+    b.add_sphere((4, 1, 0), 1.0, b.add_metal_material((0.7, 0.6, 0.5), 0.0))
+
+    scene = b.build()
+    cfg = RenderConfig(
+        width=int(height * 16 / 9),
+        height=height,
+        samples_per_pixel=spp,
+        max_bounce=4,
+        camera=CameraConfig(
+            eye=(13.0, 2.0, 3.0),
+            look_at=(0.0, 0.0, 0.0),
+            vfov_degrees=20.0,
+            aperture=0.1,
+            focus_dist=10.0,
+        ),
+    )
+    return scene, cfg
+
+
+# ---------------------------------------------------------------------------
+# Config 2: cube.gltf, 480p / 64 spp (ray-triangle + glTF load)
+# ---------------------------------------------------------------------------
+
+def cube(data_dir: str | None = None, spp: int = 64, height: int = 480):
+    data_dir = data_dir or default_data_dir()
+    b = SceneBuilder()
+    _add_ground_and_lights(b)
+    # lift the cube onto the ground plane, like the reference's square-branch
+    # translate(0, 1, 0) (main.cpp:69); rotation -15 deg about Y (main.cpp:66)
+    angle = np.deg2rad(-15.0)
+    rot = np.array(
+        [
+            [np.cos(angle), 0.0, np.sin(angle), 0.0],
+            [0.0, 1.0, 0.0, 1.0],
+            [-np.sin(angle), 0.0, np.cos(angle), 0.0],
+            [0.0, 0.0, 0.0, 1.0],
+        ]
+    )
+    load_gltf(os.path.join(data_dir, "cube.gltf"), b, root_transform=rot)
+    scene = b.build()
+    cfg = RenderConfig(
+        width=int(height * 16 / 9),
+        height=height,
+        samples_per_pixel=spp,
+        max_bounce=4,
+        camera=_flagship_camera(),
+    )
+    return scene, cfg
+
+
+# ---------------------------------------------------------------------------
+# Config 3: rustediron PBR globe, 480p
+# ---------------------------------------------------------------------------
+
+def rustediron_globe(data_dir: str | None = None, spp: int = 64, height: int = 480):
+    data_dir = data_dir or default_data_dir()
+    b = SceneBuilder()
+    _add_ground_and_lights(b)
+    _add_iron_and_metal(b, data_dir)
+    scene = b.build()
+    cfg = RenderConfig(
+        width=int(height * 16 / 9),
+        height=height,
+        samples_per_pixel=spp,
+        max_bounce=4,
+        camera=_flagship_camera(),
+    )
+    return scene, cfg
+
+
+# ---------------------------------------------------------------------------
+# Config 4 / flagship: Master Chief + furniture, 720p
+# ---------------------------------------------------------------------------
+
+def masterchief(
+    data_dir: str | None = None,
+    spp: int = 1000,
+    height: int = 720,
+    asset: str = "masterchief2-separate-xf.gltf",
+):
+    """The reference's randomScene() (main.cpp:54-154): Master Chief mesh +
+    checker ground + HDR light + (sentinel-textured) iron PBR sphere +
+    mirror metal sphere."""
+    data_dir = data_dir or default_data_dir()
+    b = SceneBuilder()
+    load_gltf(os.path.join(data_dir, asset), b)
+    _add_ground_and_lights(b)
+    _add_iron_and_metal(b, data_dir)
+    scene = b.build()
+    cfg = RenderConfig(
+        width=int(height * 16 / 9),
+        height=height,
+        samples_per_pixel=spp,
+        max_bounce=4,
+        camera=_flagship_camera(),
+    )
+    return scene, cfg
+
+
+PRESETS = {
+    "shirley": shirley_spheres,
+    "cube": cube,
+    "rustediron": rustediron_globe,
+    "masterchief": masterchief,
+}

@@ -1,0 +1,118 @@
+"""glTF loader tests against the reference assets."""
+
+import os
+
+import numpy as np
+import pytest
+
+from sexy_raytracer_tpu.models import SceneBuilder
+from sexy_raytracer_tpu.models.gltf import GLTFFile, load_gltf
+
+
+def test_cube_embedded_base64(data_dir):
+    b = SceneBuilder()
+    n = load_gltf(os.path.join(data_dir, "cube.gltf"), b)
+    scene = b.build(build_bvh=False, device=False)
+    assert n == 12  # 36 uint16 indices / 3
+    assert scene.num_triangles == 12
+    # base color factor 0.8 gray, metallic 0, roughness 0.4
+    np.testing.assert_allclose(
+        scene.mat_base_color[0][:3], [0.8, 0.8, 0.8], atol=1e-6
+    )
+    assert scene.mat_metallic[0] == 0.0
+    np.testing.assert_allclose(scene.mat_roughness[0], 0.4, atol=1e-6)
+    # cube spans [-1, 1]^3
+    allv = np.concatenate([scene.tri_v0, scene.tri_v1, scene.tri_v2])
+    np.testing.assert_allclose(allv.min(axis=0), [-1, -1, -1], atol=1e-5)
+    np.testing.assert_allclose(allv.max(axis=0), [1, 1, 1], atol=1e-5)
+
+
+def test_masterchief_counts(data_dir):
+    """The flagship asset: 2 primitives, (8928+198)/3 = 3042 triangles
+    (SURVEY §6 scene size)."""
+    b = SceneBuilder()
+    n = load_gltf(os.path.join(data_dir, "masterchief2-separate-xf.gltf"), b)
+    scene = b.build(build_bvh=False, device=False)
+    assert n == 3042
+    assert scene.num_triangles == 3042
+    # two PBR materials, each with basecolor + normal image textures
+    assert scene.num_materials == 2
+    assert (scene.mat_albedo_tex >= 0).all()
+    assert (scene.mat_normal_tex >= 0).all()
+    # 512x512 images present in the atlas at 0-255 scale
+    assert scene.atlas.shape[1:] == (512, 512, 3)
+    assert scene.atlas.max() > 1.0
+
+
+def test_scene_gltf_uint32_indices(data_dir):
+    """scene.gltf uses componentType 5125 (uint32), which the reference's
+    loader cannot read (model.h:448 hardcodes uint16)."""
+    b = SceneBuilder()
+    n = load_gltf(os.path.join(data_dir, "scene.gltf"), b)
+    assert n > 0
+    scene = b.build(build_bvh=False, device=False)
+    g = GLTFFile.parse(os.path.join(data_dir, "scene.gltf"))
+    total = sum(
+        g.doc["accessors"][p["indices"]]["count"] // 3
+        for m in g.doc["meshes"]
+        for p in m["primitives"]
+    )
+    assert scene.num_triangles == total
+
+
+def test_glb_container(data_dir):
+    path = os.path.join(data_dir, "masterchief.glb")
+    if not os.path.exists(path):
+        pytest.skip("no glb asset")
+    b = SceneBuilder()
+    n = load_gltf(path, b)
+    assert n > 0
+
+
+def test_accessor_strides(data_dir):
+    """Positions decoded via accessor API must match a raw strided read."""
+    g = GLTFFile.parse(os.path.join(data_dir, "masterchief2-separate-xf.gltf"))
+    a = g.doc["accessors"][0]
+    pos = g.accessor(0)
+    assert pos.shape == (a["count"], 3)
+    assert np.isfinite(pos).all()
+    # glTF min/max metadata, if present, bounds the data
+    if "min" in a:
+        np.testing.assert_allclose(pos.min(axis=0), a["min"], rtol=1e-5)
+        np.testing.assert_allclose(pos.max(axis=0), a["max"], rtol=1e-5)
+
+
+def test_node_transform_applied(tmp_path):
+    """A translated node must move the mesh (the reference ignores this)."""
+    import json, base64, struct
+
+    positions = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    idx = np.array([0, 1, 2], np.uint16)
+    blob = positions.tobytes() + idx.tobytes()
+    doc = {
+        "asset": {"version": "2.0"},
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0, "translation": [5, 0, 0]}],
+        "meshes": [{"primitives": [{"attributes": {"POSITION": 0}, "indices": 1}]}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 3, "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5123, "count": 3, "type": "SCALAR"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 36},
+            {"buffer": 0, "byteOffset": 36, "byteLength": 6},
+        ],
+        "buffers": [
+            {
+                "uri": "data:application/octet-stream;base64,"
+                + base64.b64encode(blob).decode(),
+                "byteLength": len(blob),
+            }
+        ],
+    }
+    p = tmp_path / "t.gltf"
+    p.write_text(json.dumps(doc))
+    b = SceneBuilder()
+    load_gltf(str(p), b)
+    scene = b.build(build_bvh=False, device=False)
+    np.testing.assert_allclose(scene.tri_v0[0], [5, 0, 0], atol=1e-6)
