@@ -1,0 +1,206 @@
+"""Inverse rendering: optimize scene parameters against a target image.
+
+BASELINE config 5: recover PBR texture maps + sphere positions from the
+reference's 5k-spp golden render via pixel gradients.
+
+The loss renders a random pixel subset at low spp (stochastic over both
+pixels and MC sample noise), gamma-resolves it exactly like the forward
+pipeline (color.h:30-33), and takes an MSE against the target texels.
+Gradients flow through hit_data + shade + camera (ops/*), with hit *finding*
+stop-gradiented (topology is non-differentiable by design, SURVEY §7).
+
+Multi-device: the train step runs under shard_map — pixels sharded over the
+"rays" mesh axis, gradients psum'd across the whole mesh (the all-reduce is
+overlapped with the backward pass by XLA) — and the optimizer update is
+replicated. This is the gradient-all-reduce analogue of data-parallel
+training.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from sexy_raytracer_tpu.diff.params import extract_params, merge_params
+from sexy_raytracer_tpu.parallel.mesh import RAY_AXIS, SAMPLE_AXIS, make_mesh
+from sexy_raytracer_tpu.render.camera import Camera
+from sexy_raytracer_tpu.render.renderer import render_pixels
+from sexy_raytracer_tpu.utils.config import RenderConfig
+
+
+def _loss_fn(
+    params,
+    scene,
+    camera,
+    pixel_ids,
+    target_pixels,
+    sample_start,
+    base_key,
+    background,
+    *,
+    width,
+    height,
+    spb,
+    spp_total,
+    max_bounce,
+    method,
+):
+    full = merge_params(scene, params)
+    rad = render_pixels(
+        full,
+        camera,
+        pixel_ids,
+        sample_start,
+        base_key,
+        background,
+        width=width,
+        height=height,
+        spb=spb,
+        spp_total=spp_total,
+        max_bounce=max_bounce,
+        method=method,
+    )
+    # gamma-2 resolve like color.h:30-33; epsilon keeps sqrt' finite at 0
+    resolved = jnp.sqrt(jnp.clip(rad / spb, 1e-8, None))
+    return jnp.mean((resolved - target_pixels) ** 2)
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: object
+    step: jnp.ndarray
+
+
+def make_train_step(
+    mesh,
+    config: RenderConfig,
+    optimizer,
+    spb: int = 4,
+    method: str = "auto",
+    trainable=None,
+):
+    """Build a jitted SPMD train step.
+
+    Returns ``step(state, scene, camera, pixel_ids, target_pixels, key)
+    -> (state, loss)`` where ``pixel_ids``/``target_pixels`` are sharded on
+    the ray axis.
+    """
+    kwargs = dict(
+        width=config.width,
+        height=config.height,
+        spb=spb,
+        spp_total=config.samples_per_pixel,
+        max_bounce=config.max_bounce,
+        method=method,
+    )
+    background = jnp.asarray(config.background, jnp.float32)
+
+    def local_value_and_grad(params, scene, camera, pixel_ids, target_pixels, key):
+        sample_shard = jax.lax.axis_index(SAMPLE_AXIS)
+        loss, grads = jax.value_and_grad(
+            functools.partial(_loss_fn, **kwargs)
+        )(
+            params,
+            scene,
+            camera,
+            pixel_ids,
+            target_pixels,
+            sample_shard * spb,
+            key,
+            background,
+        )
+        # gradient all-reduce across the whole mesh (DP analogue)
+        grads = jax.lax.pmean(
+            jax.lax.pmean(grads, RAY_AXIS), SAMPLE_AXIS
+        )
+        loss = jax.lax.pmean(jax.lax.pmean(loss, RAY_AXIS), SAMPLE_AXIS)
+        return loss, grads
+
+    mapped = shard_map(
+        local_value_and_grad,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(RAY_AXIS), P(RAY_AXIS), P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+
+    @jax.jit
+    def step(state: TrainState, scene, camera, pixel_ids, target_pixels, key):
+        loss, grads = mapped(
+            state.params, scene, camera, pixel_ids, target_pixels, key
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return step
+
+
+def inverse_render(
+    scene,
+    target_image: np.ndarray,
+    config: RenderConfig,
+    n_steps: int = 200,
+    pixels_per_step: int = 4096,
+    spb: int = 4,
+    learning_rate: float = 3e-3,
+    trainable=None,
+    mesh=None,
+    method: str = "auto",
+    camera: Camera | None = None,
+    seed: int = 0,
+    log_every: int = 25,
+    progress: bool = True,
+):
+    """Optimize scene params against ``target_image`` ([H,W,3] float 0..1).
+
+    Returns (optimized SceneData, losses list).
+    """
+    from sexy_raytracer_tpu.diff.params import DEFAULT_TRAINABLE
+
+    trainable = tuple(trainable or DEFAULT_TRAINABLE)
+    # drop empty-array params (e.g. sphere centers in a sphere-free scene)
+    trainable = tuple(
+        n for n in trainable if getattr(scene, n).size > 0
+    )
+    if mesh is None:
+        mesh = make_mesh()
+    if camera is None:
+        camera = Camera.from_config(config.camera, config.aspect)
+
+    optimizer = optax.adam(learning_rate)
+    params = extract_params(scene, trainable)
+    state = TrainState(params, optimizer.init(params), jnp.int32(0))
+    step = make_train_step(mesh, config, optimizer, spb=spb, method=method)
+
+    W, H = config.width, config.height
+    target_flat = jnp.asarray(
+        np.asarray(target_image, np.float32).reshape(H * W, 3)
+    )
+    n_ray_shards = mesh.shape[RAY_AXIS]
+    pixels_per_step = max(
+        n_ray_shards, pixels_per_step // n_ray_shards * n_ray_shards
+    )
+
+    key = jax.random.key(seed)
+    rng_np = np.random.default_rng(seed)
+    losses = []
+    for i in range(n_steps):
+        ids = rng_np.integers(0, W * H, size=pixels_per_step).astype(np.int32)
+        ids_dev = jnp.asarray(ids)
+        tgt = target_flat[ids_dev]
+        key, sub = jax.random.split(key)
+        state, loss = step(state, scene, camera, ids_dev, tgt, sub)
+        if i % log_every == 0 or i == n_steps - 1:
+            loss_v = float(loss)
+            losses.append(loss_v)
+            if progress:
+                print(f"step {i}: loss {loss_v:.6f}", flush=True)
+    return merge_params(scene, state.params), losses

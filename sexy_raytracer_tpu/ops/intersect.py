@@ -222,14 +222,28 @@ def find_hit(scene, org, dir, time, t_min=None, method="auto"):
 # ---------------------------------------------------------------------------
 
 def _triangle_record(scene, org, dir, tri_id):
-    """Recompute the triangle hit data for known winners (model.h:156-181)."""
+    """Recompute the triangle hit data for known winners (model.h:156-181).
+
+    All per-triangle data rides a single packed-row gather — TPU gathers
+    have high fixed cost per gather op, so one [T,15] row fetch beats six
+    separate table lookups. The pack is concatenated from the primal scene
+    arrays inside the trace, so gradients flow back to them.
+    """
     i = jnp.clip(tri_id, 0, max(scene.tri_v0.shape[0] - 1, 0))
-    v0 = scene.tri_v0[i]
-    v1 = scene.tri_v1[i]
-    v2 = scene.tri_v2[i]
-    uv0 = scene.tri_uv0[i]
-    uv1 = scene.tri_uv1[i]
-    uv2 = scene.tri_uv2[i]
+    pack = jnp.concatenate(
+        [
+            scene.tri_v0,
+            scene.tri_v1,
+            scene.tri_v2,
+            scene.tri_uv0,
+            scene.tri_uv1,
+            scene.tri_uv2,
+        ],
+        axis=1,
+    )  # [T, 15]
+    g = pack[i]
+    v0, v1, v2 = g[:, 0:3], g[:, 3:6], g[:, 6:9]
+    uv0, uv1, uv2 = g[:, 9:11], g[:, 11:13], g[:, 13:15]
     n = jnp.cross(v1 - v0, v2 - v0)
 
     ndir = jnp.sum(n * dir, axis=-1)
@@ -276,14 +290,31 @@ def _triangle_record(scene, org, dir, tri_id):
 
 
 def _sphere_record(scene, org, dir, time, sph_id, t_min):
-    """Recompute the sphere hit data for known winners (sphere.h:54-106)."""
+    """Recompute the sphere hit data for known winners (sphere.h:54-106).
+
+    Single packed-row gather (see _triangle_record)."""
     S = scene.sph_c0.shape[0]
     i = jnp.clip(sph_id, 0, max(S - 1, 0))
-    center = sphere_center(scene, i, time)
+    pack = jnp.concatenate(
+        [
+            scene.sph_c0,
+            scene.sph_c1,
+            scene.sph_t0[:, None],
+            scene.sph_t1[:, None],
+            scene.sph_radius[:, None],
+        ],
+        axis=1,
+    )  # [S, 9]
+    g = pack[i]
+    c0, c1 = g[:, 0:3], g[:, 3:6]
+    t0, t1, r = g[:, 6], g[:, 7], g[:, 8]
+    moving = jnp.any(c0 != c1, axis=-1)
+    denom = jnp.where(t1 == t0, 1.0, t1 - t0)
+    frac = (time - t0) / denom
+    center = jnp.where(moving[..., None], c0 + frac[..., None] * (c1 - c0), c0)
     oc = org - center
     a = jnp.sum(dir * dir, axis=-1)
     half_b = jnp.sum(oc * dir, axis=-1)
-    r = scene.sph_radius[i]
     c = jnp.sum(oc * oc, axis=-1) - r * r
     disc = half_b * half_b - a * c
     sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))

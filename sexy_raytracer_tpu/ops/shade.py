@@ -40,7 +40,7 @@ from sexy_raytracer_tpu.models.scene import (
     MAT_METAL,
     MAT_PBR,
 )
-from sexy_raytracer_tpu.ops.texture import texture_value
+from sexy_raytracer_tpu.ops.texture import texture_packs, texture_value_packed
 from sexy_raytracer_tpu.utils.mathx import (
     EPSILON,
     PI,
@@ -80,21 +80,28 @@ def fresnel_epic(f0, h_dot_v):
 
 
 # -- material models --------------------------------------------------------
+#
+# All per-ray material parameters come from two packed-row gathers (floats
+# [M,8], ints [M,6]) shared by every material model — see texture.py for the
+# rationale. ``mat`` below is the dict built in shade().
 
-def _shade_pbr(scene, rec, ray_dir, unit_sphere_dir):
-    m_id = rec.mat_id
-    base = scene.mat_base_color[m_id]           # [R,4]
-    base_rgb = base[..., :3]
+def _shade_pbr(scene, mat, tex, rec, ray_dir, unit_sphere_dir):
+    tex_f, tex_i = tex
+    base_rgb = mat["base_color"][..., :3]
 
-    albedo_tex = scene.mat_albedo_tex[m_id]
+    albedo_tex = mat["albedo_tex"]
     has_albedo = albedo_tex >= 0
-    tex_rgb = texture_value(scene, albedo_tex, rec.uv[..., 0], rec.uv[..., 1], rec.p)
+    tex_rgb = texture_value_packed(
+        tex_f, tex_i, scene.atlas, albedo_tex, rec.uv[..., 0], rec.uv[..., 1], rec.p
+    )
     # textured: sample / 255 (material.h:165-167); untextured: factor rgb
     attenuation = jnp.where(has_albedo[..., None], tex_rgb / 255.0, base_rgb)
 
-    normal_tex = scene.mat_normal_tex[m_id]
+    normal_tex = mat["normal_tex"]
     has_normal = normal_tex >= 0
-    nm = texture_value(scene, normal_tex, rec.uv[..., 0], rec.uv[..., 1], rec.p)
+    nm = texture_value_packed(
+        tex_f, tex_i, scene.atlas, normal_tex, rec.uv[..., 0], rec.uv[..., 1], rec.p
+    )
     nm = normal_int_to_float(nm)
     # TBN columns: tangent, bitangent, normal (material.h:179-185)
     world_nm = (
@@ -104,20 +111,24 @@ def _shade_pbr(scene, rec, ray_dir, unit_sphere_dir):
     )
     normal = jnp.where(has_normal[..., None], unit_vector(world_nm), rec.normal)
 
-    metallic_tex = scene.mat_metallic_tex[m_id]
-    mtex = texture_value(scene, metallic_tex, rec.uv[..., 0], rec.uv[..., 1], rec.p)
+    metallic_tex = mat["metallic_tex"]
+    mtex = texture_value_packed(
+        tex_f, tex_i, scene.atlas, metallic_tex, rec.uv[..., 0], rec.uv[..., 1], rec.p
+    )
     m = jnp.where(
         metallic_tex >= 0,
         jnp.clip(mtex[..., 0] / 255.0, 0.0, 1.0),  # red channel, material.h:191
-        scene.mat_metallic[m_id],
+        mat["metallic"],
     )
 
-    roughness_tex = scene.mat_roughness_tex[m_id]
-    rtex = texture_value(scene, roughness_tex, rec.uv[..., 0], rec.uv[..., 1], rec.p)
+    roughness_tex = mat["roughness_tex"]
+    rtex = texture_value_packed(
+        tex_f, tex_i, scene.atlas, roughness_tex, rec.uv[..., 0], rec.uv[..., 1], rec.p
+    )
     r = jnp.where(
         roughness_tex >= 0,
         jnp.clip(rtex[..., 1] / 255.0, 0.0, 1.0),  # green channel, material.h:197
-        scene.mat_roughness[m_id],
+        mat["roughness"],
     )
 
     # scatter direction (material.h:203-208)
@@ -145,19 +156,17 @@ def _shade_pbr(scene, rec, ray_dir, unit_sphere_dir):
     return out_attenuation, scatter_dir
 
 
-def _shade_metal(scene, rec, ray_dir, ball_sample):
-    m_id = rec.mat_id
-    albedo = scene.mat_base_color[m_id][..., :3]
-    fuzz = scene.mat_fuzz[m_id]
+def _shade_metal(mat, rec, ray_dir, ball_sample):
+    albedo = mat["base_color"][..., :3]
+    fuzz = mat["fuzz"]
     reflected = reflect(unit_vector(ray_dir), rec.normal)
     direction = reflected + fuzz[..., None] * ball_sample
     ok = dot(direction, rec.normal) > 0.0  # material.h:96
     return albedo, direction, ok
 
 
-def _shade_dielectric(scene, rec, ray_dir, uniform_sample):
-    m_id = rec.mat_id
-    ir = scene.mat_ior[m_id]
+def _shade_dielectric(mat, rec, ray_dir, uniform_sample):
+    ir = mat["ior"]
     ratio = jnp.where(rec.front_face, 1.0 / ir, ir)
     unit_dir = unit_vector(ray_dir)
     cos_theta = jnp.minimum(dot(rec.normal, -unit_dir), 1.0)
@@ -174,12 +183,40 @@ def _shade_dielectric(scene, rec, ray_dir, uniform_sample):
     return jnp.ones_like(direction), direction
 
 
-def _emitted(scene, rec):
-    m_id = rec.mat_id
-    emit_tex = scene.mat_emit_tex[m_id]
-    is_light = scene.mat_type[m_id] == MAT_LIGHT
-    val = texture_value(scene, emit_tex, rec.uv[..., 0], rec.uv[..., 1], rec.p)
+def _emitted(scene, mat, tex, rec):
+    tex_f, tex_i = tex
+    emit_tex = mat["emit_tex"]
+    is_light = mat["type"] == MAT_LIGHT
+    val = texture_value_packed(
+        tex_f, tex_i, scene.atlas, emit_tex, rec.uv[..., 0], rec.uv[..., 1], rec.p
+    )
     return jnp.where((is_light & (emit_tex >= 0))[..., None], val, 0.0)
+
+
+def material_packs(scene):
+    """Packed material tables: float rows [M,8], int rows [M,6]."""
+    mat_f = jnp.concatenate(
+        [
+            scene.mat_base_color,
+            scene.mat_metallic[:, None],
+            scene.mat_roughness[:, None],
+            scene.mat_fuzz[:, None],
+            scene.mat_ior[:, None],
+        ],
+        axis=1,
+    )
+    mat_i = jnp.stack(
+        [
+            scene.mat_type,
+            scene.mat_albedo_tex,
+            scene.mat_normal_tex,
+            scene.mat_metallic_tex,
+            scene.mat_roughness_tex,
+            scene.mat_emit_tex,
+        ],
+        axis=1,
+    )
+    return mat_f, mat_i
 
 
 def shade(scene, rec, ray_dir, rand) -> ScatterSample:
@@ -189,12 +226,29 @@ def shade(scene, rec, ray_dir, rand) -> ScatterSample:
       ``unit_vector`` [R,3] (PBR scatter), ``unit_ball`` [R,3] (metal fuzz),
       ``uniform`` [R] (dielectric reflect/refract choice).
     """
-    mtype = scene.mat_type[rec.mat_id]
+    mat_f, mat_i = material_packs(scene)
+    gf = mat_f[rec.mat_id]
+    gi = mat_i[rec.mat_id]
+    mat = {
+        "base_color": gf[:, 0:4],
+        "metallic": gf[:, 4],
+        "roughness": gf[:, 5],
+        "fuzz": gf[:, 6],
+        "ior": gf[:, 7],
+        "type": gi[:, 0],
+        "albedo_tex": gi[:, 1],
+        "normal_tex": gi[:, 2],
+        "metallic_tex": gi[:, 3],
+        "roughness_tex": gi[:, 4],
+        "emit_tex": gi[:, 5],
+    }
+    tex = texture_packs(scene)
+    mtype = mat["type"]
 
-    pbr_att, pbr_dir = _shade_pbr(scene, rec, ray_dir, rand["unit_vector"])
-    met_att, met_dir, met_ok = _shade_metal(scene, rec, ray_dir, rand["unit_ball"])
-    die_att, die_dir = _shade_dielectric(scene, rec, ray_dir, rand["uniform"])
-    emitted = _emitted(scene, rec)
+    pbr_att, pbr_dir = _shade_pbr(scene, mat, tex, rec, ray_dir, rand["unit_vector"])
+    met_att, met_dir, met_ok = _shade_metal(mat, rec, ray_dir, rand["unit_ball"])
+    die_att, die_dir = _shade_dielectric(mat, rec, ray_dir, rand["uniform"])
+    emitted = _emitted(scene, mat, tex, rec)
 
     def sel(mask, a, b):
         return jnp.where(mask[..., None] if a.ndim > 1 else mask, a, b)

@@ -1,0 +1,71 @@
+"""Device meshes and shardings for distributed rendering.
+
+The reference has no parallelism at all (SURVEY §2: single thread, no SIMD,
+no MPI/NCCL); this module is original TPU-native design following the
+BASELINE north star:
+
+  * rays / image tiles / sample batches are the data-parallel axis
+    ("rays"), sharded across chips — the path-tracing analogue of DP;
+  * the scene (SoA arrays + BVH + texture atlas) is replicated — it is
+    small (the flagship is ~3k triangles + a 2x512x512 atlas); a
+    primitive-sharded mode with an allreduce-min over per-shard hits is the
+    TP analogue for huge scenes (see ops/bvh_traverse.py notes);
+  * samples-per-pixel can form a second mesh axis ("samples") — partial
+    radiance sums are combined with a psum, the analogue of
+    sequence/context parallelism over the sample dimension;
+  * inverse rendering all-reduces parameter gradients across the whole
+    mesh (diff/inverse.py) — XLA overlaps the psum with the backward pass.
+
+Multi-host: call ``init_distributed()`` (jax.distributed) before building
+the mesh; collectives then ride ICI within a slice and DCN across hosts.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+RAY_AXIS = "rays"
+SAMPLE_AXIS = "samples"
+
+
+def init_distributed(coordinator: str | None = None, num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Initialize multi-host JAX (no-op if single-process or already up)."""
+    if jax.process_count() > 1:
+        return
+    if coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+def make_mesh(n_rays: int | None = None, n_samples: int = 1, devices=None) -> Mesh:
+    """Build a ("rays", "samples") mesh over the available devices.
+
+    Default: all devices on the ray axis. ``n_samples > 1`` splits the
+    device grid so sample batches are sharded too.
+    """
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    total = devices.size
+    if n_rays is None:
+        n_rays = total // n_samples
+    assert n_rays * n_samples == total, (n_rays, n_samples, total)
+    grid = devices.reshape(n_rays, n_samples)
+    return Mesh(grid, (RAY_AXIS, SAMPLE_AXIS))
+
+
+def replicate_scene(scene, mesh: Mesh):
+    """Place every scene array fully replicated on the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), scene)
+
+
+def shard_rays(array, mesh: Mesh):
+    """Shard the leading (ray/pixel) axis across the ray axis of the mesh."""
+    return jax.device_put(array, NamedSharding(mesh, P(RAY_AXIS)))

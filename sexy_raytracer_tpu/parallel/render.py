@@ -1,0 +1,161 @@
+"""Data-parallel rendering over a device mesh.
+
+Rays (pixel-sample pairs) are sharded across the ``rays`` mesh axis and,
+when the mesh has a ``samples`` axis, each sample-shard traces a disjoint
+subset of the spp and the partial radiance sums are combined with a psum —
+the whole render is a single SPMD program per chunk.
+
+Built on ``shard_map`` so the Pallas hit kernels run per-device on their
+local shard (they are not SPMD-partitionable by XLA).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from sexy_raytracer_tpu.parallel.mesh import RAY_AXIS, SAMPLE_AXIS
+from sexy_raytracer_tpu.render.camera import Camera
+from sexy_raytracer_tpu.render.renderer import render_pixels
+from sexy_raytracer_tpu.utils import color as colorlib
+from sexy_raytracer_tpu.utils.config import RenderConfig
+
+
+def _trace_pixels(
+    scene,
+    camera,
+    pixel_ids,
+    sample_start,
+    base_key,
+    background,
+    *,
+    width,
+    height,
+    spb,
+    spp_total,
+    max_bounce,
+    method,
+):
+    """Per-shard body: trace ``spb`` samples for each local pixel id and
+    psum partial sums over the sample axis. Runs under shard_map."""
+    sample_shard = jax.lax.axis_index(SAMPLE_AXIS)
+    local_start = sample_start + sample_shard * spb
+    partial = render_pixels(
+        scene,
+        camera,
+        pixel_ids,
+        local_start,
+        base_key,
+        background,
+        width=width,
+        height=height,
+        spb=spb,
+        spp_total=spp_total,
+        max_bounce=max_bounce,
+        method=method,
+    )
+    return jax.lax.psum(partial, SAMPLE_AXIS)
+
+
+def make_sharded_chunk_fn(mesh, *, width, height, spb, spp_total, max_bounce,
+                          method="auto"):
+    """Compiled SPMD chunk renderer over ``mesh``.
+
+    Returns ``f(scene, camera, pixel_ids, sample_start, base_key,
+    background) -> [C, 3]`` radiance sums where ``pixel_ids`` is sharded on
+    the ray axis and each call accumulates ``spb * mesh.shape[samples]``
+    samples per pixel.
+    """
+    body = functools.partial(
+        _trace_pixels,
+        width=width,
+        height=height,
+        spb=spb,
+        spp_total=spp_total,
+        max_bounce=max_bounce,
+        method=method,
+    )
+    mapped = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(RAY_AXIS), P(), P(), P()),
+        out_specs=P(RAY_AXIS),
+        check_rep=False,
+    )
+    return jax.jit(mapped)
+
+
+def render_sharded(
+    scene,
+    config: RenderConfig,
+    mesh,
+    camera: Camera | None = None,
+    method: str = "auto",
+    progress: bool = False,
+) -> np.ndarray:
+    """Full data-parallel render -> resolved float image [H, W, 3]."""
+    W, H = config.width, config.height
+    spp = config.samples_per_pixel
+    n_ray_shards = mesh.shape[RAY_AXIS]
+    n_sample_shards = mesh.shape[SAMPLE_AXIS]
+    spb = min(config.samples_per_batch, max(1, spp // n_sample_shards))
+    spp_per_round = spb * n_sample_shards
+    if camera is None:
+        camera = Camera.from_config(config.camera, config.aspect)
+    base_key = jax.random.key(config.seed)
+    background = jnp.asarray(config.background, jnp.float32)
+
+    P_pixels = W * H
+    chunk = max(
+        n_ray_shards,
+        min(config.rays_per_chunk // spb, P_pixels)
+        // n_ray_shards
+        * n_ray_shards,
+    )
+
+    fn = make_sharded_chunk_fn(
+        mesh,
+        width=W,
+        height=H,
+        spb=spb,
+        spp_total=spp,
+        max_bounce=config.max_bounce,
+        method=method,
+    )
+
+    from sexy_raytracer_tpu.parallel.mesh import replicate_scene, shard_rays
+
+    scene_r = replicate_scene(scene, mesh)
+    camera_r = jax.tree.map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, P())), camera
+    )
+
+    accum = np.zeros((P_pixels, 3), np.float32)
+    for start in range(0, P_pixels, chunk):
+        ids = np.arange(start, min(start + chunk, P_pixels), dtype=np.int32)
+        n_valid = ids.shape[0]
+        if n_valid < chunk:
+            ids = np.pad(ids, (0, chunk - n_valid))
+        ids_dev = shard_rays(jnp.asarray(ids), mesh)
+        chunk_accum = jnp.zeros((chunk, 3), jnp.float32)
+        s0 = 0
+        while s0 < spp:
+            # the final round may overshoot; extra samples are traced but
+            # discarded by rescaling below — keep spp divisible by
+            # spb * n_sample_shards to avoid this
+            out = fn(scene_r, camera_r, ids_dev, jnp.int32(s0), base_key, background)
+            chunk_accum = chunk_accum + out
+            s0 += spp_per_round
+        accum[start : start + n_valid] = np.asarray(chunk_accum)[:n_valid]
+        if progress:
+            print(f"\rpixels {min(start + chunk, P_pixels)}/{P_pixels}", end="")
+    if progress:
+        print()
+    # actual traced sample count per pixel (>= spp when not divisible)
+    traced = ((spp + spp_per_round - 1) // spp_per_round) * spp_per_round
+    return np.asarray(colorlib.resolve(accum.reshape(H, W, 3), traced))

@@ -87,15 +87,15 @@ class Camera(NamedTuple):
             cfg.time1,
         )
 
-    def get_rays(self, s, t, keys):
+    def get_rays(self, s, t, uniforms):
         """Generate rays for viewport coords ``s``/``t`` [R] (camera.h:40-50).
 
-        ``keys`` is a [R] array of PRNG keys (one per ray, counter-based, see
-        utils/rng.py). Directions are deliberately left unnormalized, like
-        the reference.
+        ``uniforms``: [R, 3] U[0,1) draws — (disk_u, disk_v, time). Directions
+        are deliberately left unnormalized, like the reference.
         """
-        k_disk, k_time = rng.split_per_ray(keys, 2)
-        rd = self.lens_radius * rng.per_ray_in_unit_disk(k_disk)
+        rd = self.lens_radius * rng.in_unit_disk_from_uniforms(
+            uniforms[..., 0], uniforms[..., 1]
+        )
         offset = rd[..., 0:1] * self.u_axis + rd[..., 1:2] * self.v_axis
         org = jnp.broadcast_to(self.origin, offset.shape) + offset
         direction = (
@@ -105,5 +105,5 @@ class Camera(NamedTuple):
             - self.origin
             - offset
         )
-        time = rng.per_ray_uniform(k_time, self.time0, self.time1)
+        time = self.time0 + (self.time1 - self.time0) * uniforms[..., 2]
         return org, direction, time

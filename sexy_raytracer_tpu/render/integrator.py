@@ -47,11 +47,13 @@ def trace_rays(
         rec = hit_data(scene, org, dir, time, prim)
 
         bkeys = jax.vmap(lambda k: jax.random.fold_in(k, 100 + bounce_idx))(keys)
-        k_unit, k_ball, k_uni = rng.split_per_ray(bkeys, 3)
+        u = rng.per_ray_uniform_block(bkeys, 6)
         rand = {
-            "unit_vector": rng.per_ray_unit_vector(k_unit),
-            "unit_ball": rng.per_ray_in_unit_sphere(k_ball),
-            "uniform": rng.per_ray_uniform(k_uni),
+            "unit_vector": rng.unit_vector_from_uniforms(u[..., 0], u[..., 1]),
+            "unit_ball": rng.in_unit_sphere_from_uniforms(
+                u[..., 2], u[..., 3], u[..., 4]
+            ),
+            "uniform": u[..., 5],
         }
         samp = shade(scene, rec, dir, rand)
 

@@ -26,18 +26,7 @@ from sexy_raytracer_tpu.utils import rng
 from sexy_raytracer_tpu.utils.config import RenderConfig
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "width",
-        "height",
-        "spb",
-        "spp_total",
-        "max_bounce",
-        "method",
-    ),
-)
-def render_chunk(
+def render_pixels(
     scene,
     camera: Camera,
     pixel_ids,
@@ -52,24 +41,33 @@ def render_chunk(
     max_bounce: int,
     method: str,
 ):
-    """Trace ``spb`` samples for each pixel id; returns summed radiance [C,3]."""
+    """Pure chunk body: trace ``spb`` samples per pixel id -> radiance sums
+    [C,3]. Differentiable w.r.t. scene/camera arrays; reused by the jitted
+    single-device driver, the shard_map SPMD driver (parallel/render.py),
+    and the inverse-rendering loss (diff/inverse.py)."""
     C = pixel_ids.shape[0]
     pid = jnp.repeat(pixel_ids, spb)
     sid = sample_start + jnp.tile(jnp.arange(spb, dtype=jnp.int32), C)
     uid = pid * spp_total + sid
     keys = rng.ray_keys(base_key, uid)
-    k_ju, k_jv, k_cam, k_path = rng.split_per_ray(keys, 4)
+    ucam = rng.per_ray_uniform_block(keys, 5)
 
     x = (pid % width).astype(jnp.float32)
     y = (pid // width).astype(jnp.float32)
-    u = (x + rng.per_ray_uniform(k_ju)) / (width - 1)
-    v = ((height - y) + rng.per_ray_uniform(k_jv)) / (height - 1)
+    u = (x + ucam[..., 0]) / (width - 1)
+    v = ((height - y) + ucam[..., 1]) / (height - 1)
 
-    org, direction, time = camera.get_rays(u, v, k_cam)
+    org, direction, time = camera.get_rays(u, v, ucam[..., 2:5])
     radiance = trace_rays(
-        scene, org, direction, time, k_path, background, max_bounce, method
+        scene, org, direction, time, keys, background, max_bounce, method
     )
     return radiance.reshape(C, spb, 3).sum(axis=1)
+
+
+render_chunk = functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "spb", "spp_total", "max_bounce", "method"),
+)(render_pixels)
 
 
 def render(

@@ -32,8 +32,13 @@ def uniform(key, shape, lo=0.0, hi=1.0):
 
 # ---------------------------------------------------------------------------
 # Per-ray draws: each ray owns a PRNG key derived from its (pixel, sample)
-# uid, so every sample is independent of batch layout/sharding. All helpers
-# take a [R] key array and return [R]-leading arrays.
+# uid, so every sample is independent of batch layout/sharding.
+#
+# For speed on the VPU, all shaped distributions are derived from raw
+# uniform words (one batched threefry invocation per block of draws) using
+# closed-form transforms — no erfinv/rejection:
+#   unit sphere direction: z = 1-2u, phi = 2 pi v (area-preserving)
+#   ball radius: u^(1/3);  disk radius: sqrt(u)
 # ---------------------------------------------------------------------------
 
 def ray_keys(base_key, ray_uid):
@@ -46,30 +51,53 @@ def split_per_ray(keys, n):
     return [jax.vmap(lambda k, i=i: jax.random.fold_in(k, i))(keys) for i in range(n)]
 
 
+def per_ray_uniform_block(keys, n):
+    """[R] keys -> [R, n] iid U[0,1) floats (24-bit resolution)."""
+    bits = jax.vmap(lambda k: jax.random.bits(k, (n,)))(keys)
+    return (bits >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
+def unit_vector_from_uniforms(u, v):
+    """U[0,1)^2 -> uniform direction on S^2."""
+    z = 1.0 - 2.0 * u
+    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    phi = (2.0 * PI) * v
+    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+
+
+def in_unit_sphere_from_uniforms(u, v, w):
+    """U[0,1)^3 -> uniform point in the unit ball."""
+    d = unit_vector_from_uniforms(u, v)
+    return d * (w ** (1.0 / 3.0))[..., None]
+
+
+def in_unit_disk_from_uniforms(u, v):
+    """U[0,1)^2 -> uniform point in the unit disk."""
+    r = jnp.sqrt(u)
+    theta = (2.0 * PI) * v
+    return jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta)], axis=-1)
+
+
+# Slower key-per-draw variants (kept for tests / reference use)
+
 def per_ray_uniform(keys, lo=0.0, hi=1.0):
-    return jax.vmap(
-        lambda k: jax.random.uniform(k, (), minval=lo, maxval=hi, dtype=jnp.float32)
-    )(keys)
+    u = per_ray_uniform_block(keys, 1)[..., 0]
+    return lo + (hi - lo) * u
 
 
 def per_ray_unit_vector(keys):
-    g = jax.vmap(lambda k: jax.random.normal(k, (3,), dtype=jnp.float32))(keys)
-    norm = jnp.sqrt(jnp.sum(g * g, axis=-1, keepdims=True))
-    return g / jnp.maximum(norm, 1e-12)
+    u = per_ray_uniform_block(keys, 2)
+    return unit_vector_from_uniforms(u[..., 0], u[..., 1])
 
 
 def per_ray_in_unit_sphere(keys):
-    k_dir, k_r = split_per_ray(keys, 2)
-    d = per_ray_unit_vector(k_dir)
-    r = per_ray_uniform(k_r) ** (1.0 / 3.0)
-    return d * r[..., None]
+    u = per_ray_uniform_block(keys, 3)
+    return in_unit_sphere_from_uniforms(u[..., 0], u[..., 1], u[..., 2])
 
 
 def per_ray_in_unit_disk(keys):
-    k_theta, k_r = split_per_ray(keys, 2)
-    theta = per_ray_uniform(k_theta, 0.0, 2.0 * PI)
-    r = jnp.sqrt(per_ray_uniform(k_r))
-    return jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta)], axis=-1)
+    u = per_ray_uniform_block(keys, 2)
+    return in_unit_disk_from_uniforms(u[..., 0], u[..., 1])
 
 
 def random_unit_vector(key, shape):
