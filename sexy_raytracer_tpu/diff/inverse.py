@@ -128,7 +128,7 @@ def make_train_step(
         mesh=mesh,
         in_specs=(P(), P(), P(), P(RAY_AXIS), P(RAY_AXIS), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit

@@ -39,7 +39,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from sexy_raytracer_tpu.utils.mathx import EPSILON, PI, unit_vector
+from sexy_raytracer_tpu.utils.mathx import EPSILON, PI, safe_sqrt, unit_vector
 
 T_MIN_DEFAULT = 0.001  # reference main.cpp:39
 
@@ -252,9 +252,12 @@ def _triangle_record(scene, org, dir, tri_id):
     t = -(jnp.sum(n * org, axis=-1) + d) / safe
     p = org + t[..., None] * dir
 
-    # inverse-distance "barycentric" weights (model.h:157-166)
+    # inverse-distance "barycentric" weights (model.h:157-166).
+    # uv feeds only nearest-neighbor texture lookups, whose gradient w.r.t.
+    # uv is identically zero — stop_gradient blocks NaN-generating backward
+    # paths (sqrt at 0) without losing any real gradient.
     def invdist(v):
-        dist = jnp.sqrt(jnp.sum((p - v) ** 2, axis=-1))
+        dist = safe_sqrt(jnp.sum((p - v) ** 2, axis=-1))
         return 1.0 / jnp.maximum(dist, 1e-20)
 
     r0, r1, r2 = invdist(v0), invdist(v1), invdist(v2)
@@ -262,7 +265,7 @@ def _triangle_record(scene, org, dir, tri_id):
     r0, r1, r2 = r0 / denom, r1 / denom, r2 / denom
     u = r0 * uv0[..., 0] + r1 * uv1[..., 0] + r2 * uv2[..., 0]
     v = 1.0 - (r0 * uv0[..., 1] + r1 * uv1[..., 1] + r2 * uv2[..., 1])
-    uv = jnp.stack([u, v], axis=-1)
+    uv = jax.lax.stop_gradient(jnp.stack([u, v], axis=-1))
 
     outward = unit_vector(n)
     # back-face culling guarantees front hits (model.h:122-123)
@@ -317,7 +320,7 @@ def _sphere_record(scene, org, dir, time, sph_id, t_min):
     half_b = jnp.sum(oc * dir, axis=-1)
     c = jnp.sum(oc * oc, axis=-1) - r * r
     disc = half_b * half_b - a * c
-    sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sqrtd = safe_sqrt(disc)  # finite gradient for non-winner garbage lanes
     safe_a = jnp.where(a == 0.0, 1.0, a)
     root0 = (-half_b - sqrtd) / safe_a
     root1 = (-half_b + sqrtd) / safe_a
@@ -327,9 +330,12 @@ def _sphere_record(scene, org, dir, time, sph_id, t_min):
     front = jnp.sum(dir * outward, axis=-1) < 0.0
     normal = jnp.where(front[..., None], outward, -outward)
 
-    # spherical UV from the outward normal (sphere.h:32-38)
-    theta = jnp.arccos(jnp.clip(-outward[..., 1], -1.0, 1.0))
-    phi = jnp.arctan2(-outward[..., 2], outward[..., 0]) + PI
+    # spherical UV from the outward normal (sphere.h:32-38). stop_gradient:
+    # uv only drives nearest-neighbor texture fetches (zero gradient), and
+    # arccos/atan2 have infinite derivatives at the poles.
+    outward_sg = jax.lax.stop_gradient(outward)
+    theta = jnp.arccos(jnp.clip(-outward_sg[..., 1], -1.0, 1.0))
+    phi = jnp.arctan2(-outward_sg[..., 2], outward_sg[..., 0]) + PI
     uv = jnp.stack([phi / (2.0 * PI), theta / PI], axis=-1)
 
     # tangent basis (sphere.h:96-106)

@@ -66,7 +66,9 @@ def trowbridge_reitz_ndf(n_dot_h, roughness):
     alpha = roughness * roughness
     alpha2 = alpha * alpha
     denom = PI * (n_dot_h * n_dot_h * (alpha2 - 1.0) + 1.0) ** 2
-    return alpha2 / denom
+    # guard the r=0, NdotH=1 singular point (the reference computes 0/0
+    # NaN there, pbr.h:62-64 — a measure-zero event we make finite)
+    return alpha2 / jnp.maximum(denom, 1e-20)
 
 
 def schlick_gaf(n_dot_v, roughness):

@@ -85,7 +85,7 @@ def make_sharded_chunk_fn(mesh, *, width, height, spb, spp_total, max_bounce,
         mesh=mesh,
         in_specs=(P(), P(), P(RAY_AXIS), P(), P(), P()),
         out_specs=P(RAY_AXIS),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(mapped)
 

@@ -39,16 +39,26 @@ def distance(u, v):
     return length(u - v)
 
 
+def safe_sqrt(x, eps=1e-24):
+    """sqrt with a finite gradient everywhere.
+
+    ``sqrt(max(x, eps))``: for x <= eps the max has zero gradient, so the
+    (huge but finite) sqrt' at eps is multiplied by 0 instead of producing
+    the classic ``0 * inf = NaN`` through unselected ``where`` branches.
+    """
+    return jnp.sqrt(jnp.maximum(x, eps))
+
+
 def unit_vector(v):
     """Normalize, returning ``v`` unchanged for zero-length inputs.
 
-    Matches the reference's zero-guard (vec3.h:54-60) and keeps the op
-    NaN-free under ``jit`` (both branches of ``where`` are evaluated, so the
-    division is guarded).
+    Matches the reference's zero-guard (vec3.h:54-60) and keeps both the
+    primal and the gradient NaN-free under ``jit`` (both branches of
+    ``where`` are evaluated, so the division and sqrt are guarded).
     """
-    len_ = length(v)[..., None]
-    safe = jnp.where(len_ == 0.0, 1.0, len_)
-    return jnp.where(len_ == 0.0, v, v / safe)
+    len2 = length_squared(v)[..., None]
+    len_ = safe_sqrt(len2)
+    return jnp.where(len2 == 0.0, v, v / len_)
 
 
 def near_zero(v):
@@ -63,11 +73,12 @@ def reflect(v, n):
 
 
 def refract(uv, n, eta_i_over_eta_t):
-    # reference vec3.h:80-86
+    # reference vec3.h:80-86 (safe_sqrt: finite gradient at total internal
+    # reflection boundary)
     cos_theta = jnp.minimum(dot(n, -uv), 1.0)
     r_out_perp = eta_i_over_eta_t[..., None] * (uv + cos_theta[..., None] * n)
     r_out_parallel = (
-        -jnp.sqrt(jnp.abs(1.0 - length_squared(r_out_perp)))[..., None] * n
+        -safe_sqrt(jnp.abs(1.0 - length_squared(r_out_perp)))[..., None] * n
     )
     return r_out_perp + r_out_parallel
 
