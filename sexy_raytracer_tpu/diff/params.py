@@ -13,14 +13,17 @@ import jax.numpy as jnp
 
 from sexy_raytracer_tpu.models.scene import SceneData, prepare_triangles
 
-# atlas = texture maps; factors; sphere centers (moving spheres train both
-# endpoints). Triangle vertices are includable ("tri_v0"... ) for geometry
-# optimization.
+# shade_atlas = the baked 8-channel map pack (albedo/normal/metallic/
+# roughness jointly — the texture recovery target); factors; checker/solid
+# albedo colors; sphere centers (moving spheres train both endpoints).
+# Triangle vertices are includable ("tri_v0"...) for geometry optimization.
 DEFAULT_TRAINABLE = (
-    "atlas",
+    "shade_atlas",
     "mat_base_color",
     "mat_metallic",
     "mat_roughness",
+    "mat_albedo_c0",
+    "mat_albedo_c1",
     "sph_c0",
     "sph_c1",
 )

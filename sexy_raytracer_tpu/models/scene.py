@@ -83,6 +83,23 @@ class SceneData(NamedTuple):
     #   and likewise never sample it in quirk-faithful mode.
     mat_emit_tex: jnp.ndarray    # [M] int32 emission texture (diffuseLight)
 
+    # -- baked shading pack (fast path; see bake notes in build()) -------
+    # Per-material 8-channel map pack: albedo texel rgb, normal texel rgb,
+    # metallic (map channel 0), roughness (map channel 1) — all 0-255
+    # reference scale. ONE gather per shaded ray replaces four separate
+    # atlas fetches; this is also the inverse-rendering texture target.
+    shade_atlas: jnp.ndarray     # [Lm,Hm,Wm,8] float32
+    mat_pack_layer: jnp.ndarray  # [M] int32 layer or -1
+    mat_pack_w: jnp.ndarray      # [M] int32
+    mat_pack_h: jnp.ndarray      # [M] int32
+    mat_albedo_kind: jnp.ndarray  # [M] int32: 0 none, 1 solid, 2 checker, 3 image
+    mat_has_normal: jnp.ndarray   # [M] int32 0/1 (normal map baked in pack)
+    mat_has_metal: jnp.ndarray    # [M] int32 0/1
+    mat_has_rough: jnp.ndarray    # [M] int32 0/1
+    mat_albedo_c0: jnp.ndarray    # [M,3] solid color / checker even
+    mat_albedo_c1: jnp.ndarray    # [M,3] checker odd
+    mat_emit_rgb: jnp.ndarray     # [M,3] baked solid emission (diffuseLight)
+
     # -- texture table [K] ----------------------------------------------
     tex_type: jnp.ndarray    # [K] int32, TEX_*
     tex_color0: jnp.ndarray  # [K,3] solid color / checker even (texture.h:40)
@@ -442,6 +459,117 @@ class SceneBuilder:
         else:
             atlas = np.zeros((1, 1, 1, 3), f32)
 
+        # -- bake the per-material shading pack --------------------------
+        # One 8-channel layer per PBR material that references any map
+        # beyond a procedural albedo: channels 0-2 albedo texel, 3-5 normal
+        # texel, 6 metallic (map channel 0, material.h:191), 7 roughness
+        # (map channel 1, material.h:197) — all 0-255 reference scale.
+        # Image maps of differing resolution are co-baked at the material's
+        # max resolution with integer-ratio-exact nearest resampling; solid
+        # maps (including magenta missing-file sentinels) bake as constant
+        # texels, so the flagship's sentinel-textured iron sphere is exact.
+        mat_pack_layer = np.full((M,), -1, i32)
+        mat_pack_w = np.ones((M,), i32)
+        mat_pack_h = np.ones((M,), i32)
+        mat_albedo_kind = np.zeros((M,), i32)
+        mat_has_normal = np.zeros((M,), i32)
+        mat_has_metal = np.zeros((M,), i32)
+        mat_has_rough = np.zeros((M,), i32)
+        mat_albedo_c0 = np.zeros((M, 3), f32)
+        mat_albedo_c1 = np.zeros((M, 3), f32)
+        mat_emit_rgb = np.zeros((M, 3), f32)
+        pack_layers = []
+
+        def _resample(img, H, W):
+            h, w = img.shape[:2]
+            jj = (np.arange(H) * h) // H
+            ii = (np.arange(W) * w) // W
+            return img[jj[:, None], ii[None, :]]
+
+        for mi, m in enumerate(mats):
+            et = m["emit_tex"]
+            if et >= 0:
+                t = texs[et]
+                if t["type"] == TEX_SOLID:
+                    mat_emit_rgb[mi] = t["color0"]
+                else:
+                    raise NotImplementedError(
+                        "non-solid emission textures are not supported by "
+                        "the baked shading path"
+                    )
+            if m["type"] != MAT_PBR:
+                continue
+            a = texs[m["albedo_tex"]] if m["albedo_tex"] >= 0 else None
+            if a is None:
+                mat_albedo_kind[mi] = 0
+            elif a["type"] == TEX_SOLID:
+                mat_albedo_kind[mi] = 1
+                mat_albedo_c0[mi] = a["color0"]
+            elif a["type"] == TEX_CHECKER:
+                mat_albedo_kind[mi] = 2
+                mat_albedo_c0[mi] = a["color0"]
+                mat_albedo_c1[mi] = a["color1"]
+            else:
+                mat_albedo_kind[mi] = 3
+
+            slot_texs = {}
+            for slot, ti in (
+                ("albedo", m["albedo_tex"] if mat_albedo_kind[mi] == 3 else -1),
+                ("normal", m["normal_tex"]),
+                ("metal", m["metallic_tex"]),
+                ("rough", m["roughness_tex"]),
+            ):
+                if ti >= 0:
+                    slot_texs[slot] = texs[ti]
+            if not slot_texs:
+                continue
+            for slot, t in slot_texs.items():
+                if slot != "albedo" and t["type"] == TEX_CHECKER:
+                    raise NotImplementedError(
+                        f"checker textures in the {slot} slot are not "
+                        "supported by the baked shading path"
+                    )
+            dims = [
+                self._images[t["image"]].shape[:2]
+                for t in slot_texs.values()
+                if t["image"] >= 0
+            ]
+            H = max((d[0] for d in dims), default=1)
+            W = max((d[1] for d in dims), default=1)
+            pack = np.zeros((H, W, 8), f32)
+
+            def _baked(t, H=H, W=W):
+                if t["image"] >= 0:
+                    return _resample(self._images[t["image"]], H, W)
+                return np.broadcast_to(
+                    np.asarray(t["color0"], f32), (H, W, 3)
+                )
+
+            if "albedo" in slot_texs:
+                pack[..., 0:3] = _baked(slot_texs["albedo"])
+            if "normal" in slot_texs:
+                pack[..., 3:6] = _baked(slot_texs["normal"])
+                mat_has_normal[mi] = 1
+            if "metal" in slot_texs:
+                pack[..., 6] = _baked(slot_texs["metal"])[..., 0]
+                mat_has_metal[mi] = 1
+            if "rough" in slot_texs:
+                pack[..., 7] = _baked(slot_texs["rough"])[..., 1]
+                mat_has_rough[mi] = 1
+            mat_pack_layer[mi] = len(pack_layers)
+            mat_pack_h[mi] = H
+            mat_pack_w[mi] = W
+            pack_layers.append(pack)
+
+        if pack_layers:
+            Hm = max(p.shape[0] for p in pack_layers)
+            Wm = max(p.shape[1] for p in pack_layers)
+            shade_atlas = np.zeros((len(pack_layers), Hm, Wm, 8), f32)
+            for li, p in enumerate(pack_layers):
+                shade_atlas[li, : p.shape[0], : p.shape[1]] = p
+        else:
+            shade_atlas = np.zeros((1, 1, 1, 8), f32)
+
         tri_n, tri_d, tri_q, tri_c = prepare_triangles(tri_v0, tri_v1, tri_v2)
 
         scene = SceneData(
@@ -470,6 +598,17 @@ class SceneBuilder:
             mat_roughness_tex=mat_roughness_tex,
             mat_mr_tex=mat_mr_tex,
             mat_emit_tex=mat_emit_tex,
+            shade_atlas=shade_atlas,
+            mat_pack_layer=mat_pack_layer,
+            mat_pack_w=mat_pack_w,
+            mat_pack_h=mat_pack_h,
+            mat_albedo_kind=mat_albedo_kind,
+            mat_has_normal=mat_has_normal,
+            mat_has_metal=mat_has_metal,
+            mat_has_rough=mat_has_rough,
+            mat_albedo_c0=mat_albedo_c0,
+            mat_albedo_c1=mat_albedo_c1,
+            mat_emit_rgb=mat_emit_rgb,
             tex_type=tex_type,
             tex_color0=tex_color0,
             tex_color1=tex_color1,

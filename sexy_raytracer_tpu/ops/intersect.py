@@ -39,6 +39,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from sexy_raytracer_tpu.ops.lookup import table_lookup
 from sexy_raytracer_tpu.utils.mathx import EPSILON, PI, safe_sqrt, unit_vector
 
 T_MIN_DEFAULT = 0.001  # reference main.cpp:39
@@ -238,12 +239,17 @@ def _triangle_record(scene, org, dir, tri_id):
             scene.tri_uv0,
             scene.tri_uv1,
             scene.tri_uv2,
+            # material id rides the float pack as raw bits: one gather total
+            jax.lax.bitcast_convert_type(scene.tri_mat, jnp.float32)[:, None],
         ],
         axis=1,
-    )  # [T, 15]
-    g = pack[i]
+    )  # [T, 16]
+    g = table_lookup(pack, i)
     v0, v1, v2 = g[:, 0:3], g[:, 3:6], g[:, 6:9]
     uv0, uv1, uv2 = g[:, 9:11], g[:, 11:13], g[:, 13:15]
+    mat = jax.lax.bitcast_convert_type(
+        jax.lax.stop_gradient(g[:, 15]), jnp.int32
+    )
     n = jnp.cross(v1 - v0, v2 - v0)
 
     ndir = jnp.sum(n * dir, axis=-1)
@@ -288,7 +294,6 @@ def _triangle_record(scene, org, dir, tri_id):
         inv_f[..., None]
         * (-duv1[..., 0:1] * e0 + duv0[..., 0:1] * e1)
     )
-    mat = scene.tri_mat[i]
     return p, normal, tangent, bitangent, uv, t, front, mat
 
 
@@ -305,12 +310,16 @@ def _sphere_record(scene, org, dir, time, sph_id, t_min):
             scene.sph_t0[:, None],
             scene.sph_t1[:, None],
             scene.sph_radius[:, None],
+            jax.lax.bitcast_convert_type(scene.sph_mat, jnp.float32)[:, None],
         ],
         axis=1,
-    )  # [S, 9]
-    g = pack[i]
+    )  # [S, 10]
+    g = table_lookup(pack, i)
     c0, c1 = g[:, 0:3], g[:, 3:6]
     t0, t1, r = g[:, 6], g[:, 7], g[:, 8]
+    mat = jax.lax.bitcast_convert_type(
+        jax.lax.stop_gradient(g[:, 9]), jnp.int32
+    )
     moving = jnp.any(c0 != c1, axis=-1)
     denom = jnp.where(t1 == t0, 1.0, t1 - t0)
     frac = (time - t0) / denom
@@ -347,7 +356,6 @@ def _sphere_record(scene, org, dir, time, sph_id, t_min):
     )
     tangent = unit_vector(jnp.cross(b, outward))
     bitangent = unit_vector(jnp.cross(outward, tangent))
-    mat = scene.sph_mat[i]
     return p, normal, tangent, bitangent, uv, t, front, mat
 
 

@@ -3,9 +3,17 @@
 Branchless wavefront replacement for the reference's virtual
 ``material::scatter`` dispatch (reference main.cpp:46): all four material
 models are evaluated on the whole ray front (cheap elementwise math) and the
-result is selected by material id. This is the differentiable core — texture
-atlas texels, material factors, and geometry all receive gradients through
-this module.
+result is selected by material id. This is the differentiable core — the
+baked shading pack, material factors, and geometry all receive gradients
+through this module.
+
+Data path (TPU-native): per-ray material parameters ride exactly THREE
+gathers — a packed float row [M,17], a packed int row [M,9], and one fetch
+from the baked 8-channel shading atlas (models/scene.py build(): albedo
+texel, normal texel, metallic, roughness co-baked per material). Small-table
+gathers use ops/lookup.table_lookup, whose backward is an MXU matmul
+instead of a serial scatter-add. Procedural albedo (solid/checker) is
+computed inline from the float row.
 
 Reference semantics (quirks included, since they define the images):
 
@@ -15,14 +23,18 @@ Reference semantics (quirks included, since they define the images):
     ``normal + randomUnitVector``; half-vector from scatter-as-light;
     ``F0 = lerp(0.4, albedoFactor, m)`` — the reference's 0.4, not the
     canonical 0.04 (material.h:228); Lambert diffuse times (1-F)(1-m) and
-    the albedo *factor* applied a second time for textured materials
-    (material.h:237); specular D*F*G / (4 NdotV NdotL + eps); everything
-    multiplied by NdotL; always scatters.
+    the albedo *factor* applied a second time (material.h:237); specular
+    D*F*G / (4 NdotV NdotL + eps); everything times NdotL; always scatters.
   * metal (material.h:87-102): mirror reflect + fuzz * random-in-unit-ball;
     absorbed if the scattered ray leaves below the surface.
   * dielectric (material.h:104-137): Schlick-probability reflect/refract
     with total internal reflection.
-  * diffuseLight (material.h:139-154): never scatters; emits its texture.
+  * diffuseLight (material.h:139-154): never scatters; emits its (solid)
+    color — baked into the material row; non-solid emission textures are
+    rejected at scene build.
+  * checker albedo: sign of sin(10x)sin(10y)sin(10z) picks even/odd * 255
+    (texture.h:42-48); solid albedo passes through at its stored scale, so
+    the solid-color PBR ctor's /255 quirk (material.h:165-167) holds.
 
 BRDF terms are from pbr.h:58-81 (GGX NDF with alpha=roughness^2, Schlick
 GAF with k=(r+1)^2/8, UE4 spherical-gaussian Schlick Fresnel).
@@ -40,7 +52,7 @@ from sexy_raytracer_tpu.models.scene import (
     MAT_METAL,
     MAT_PBR,
 )
-from sexy_raytracer_tpu.ops.texture import texture_packs, texture_value_packed
+from sexy_raytracer_tpu.ops.lookup import table_lookup
 from sexy_raytracer_tpu.utils.mathx import (
     EPSILON,
     PI,
@@ -81,30 +93,80 @@ def fresnel_epic(f0, h_dot_v):
     return f0 + (1.0 - f0) * power[..., None]
 
 
+# -- packed material rows ----------------------------------------------------
+
+def material_packs(scene):
+    """Packed material tables: float rows [M,17], int rows [M,8]."""
+    mat_f = jnp.concatenate(
+        [
+            scene.mat_base_color,                # 0:4
+            scene.mat_metallic[:, None],         # 4
+            scene.mat_roughness[:, None],        # 5
+            scene.mat_fuzz[:, None],             # 6
+            scene.mat_ior[:, None],              # 7
+            scene.mat_albedo_c0,                 # 8:11
+            scene.mat_albedo_c1,                 # 11:14
+            scene.mat_emit_rgb,                  # 14:17
+        ],
+        axis=1,
+    )
+    mat_i = jnp.stack(
+        [
+            scene.mat_type,          # 0
+            scene.mat_albedo_kind,   # 1
+            scene.mat_has_normal,    # 2
+            scene.mat_has_metal,     # 3
+            scene.mat_has_rough,     # 4
+            scene.mat_pack_layer,    # 5
+            scene.mat_pack_w,        # 6
+            scene.mat_pack_h,        # 7
+        ],
+        axis=1,
+    )
+    return mat_f, mat_i
+
+
+def _sample_pack(scene, mat, uv):
+    """One fetch from the baked 8-channel shading atlas (0-255 scale).
+
+    Nearest neighbor, u clamped, v flipped — texture.h:129-147 semantics.
+    """
+    L, H, W, C = scene.shade_atlas.shape
+    layer = jnp.maximum(mat["pack_layer"], 0)
+    w = mat["pack_w"]
+    h = mat["pack_h"]
+    uu = jnp.clip(uv[..., 0], 0.0, 1.0)
+    vv = 1.0 - jnp.clip(uv[..., 1], 0.0, 1.0)
+    xi = jnp.minimum((uu * w).astype(jnp.int32), w - 1)
+    yj = jnp.minimum((vv * h).astype(jnp.int32), h - 1)
+    flat = (layer * H + yj) * W + xi
+    # big table: plain gather (scatter-add backward), one per bounce
+    return scene.shade_atlas.reshape(L * H * W, C)[flat]
+
+
 # -- material models --------------------------------------------------------
-#
-# All per-ray material parameters come from two packed-row gathers (floats
-# [M,8], ints [M,6]) shared by every material model — see texture.py for the
-# rationale. ``mat`` below is the dict built in shade().
 
-def _shade_pbr(scene, mat, tex, rec, ray_dir, unit_sphere_dir):
-    tex_f, tex_i = tex
+def _shade_pbr(scene, mat, pack, rec, ray_dir, unit_sphere_dir):
     base_rgb = mat["base_color"][..., :3]
+    kind = mat["albedo_kind"]
 
-    albedo_tex = mat["albedo_tex"]
-    has_albedo = albedo_tex >= 0
-    tex_rgb = texture_value_packed(
-        tex_f, tex_i, scene.atlas, albedo_tex, rec.uv[..., 0], rec.uv[..., 1], rec.p
+    # procedural albedo values (texture.h:26-28, 42-48)
+    sines = (
+        jnp.sin(10.0 * rec.p[..., 0])
+        * jnp.sin(10.0 * rec.p[..., 1])
+        * jnp.sin(10.0 * rec.p[..., 2])
     )
+    checker = (
+        jnp.where((sines < 0.0)[..., None], mat["albedo_c1"], mat["albedo_c0"])
+        * 255.0
+    )
+    map_val = jnp.where((kind == 1)[..., None], mat["albedo_c0"], pack[..., 0:3])
+    map_val = jnp.where((kind == 2)[..., None], checker, map_val)
     # textured: sample / 255 (material.h:165-167); untextured: factor rgb
-    attenuation = jnp.where(has_albedo[..., None], tex_rgb / 255.0, base_rgb)
+    attenuation = jnp.where((kind == 0)[..., None], base_rgb, map_val / 255.0)
 
-    normal_tex = mat["normal_tex"]
-    has_normal = normal_tex >= 0
-    nm = texture_value_packed(
-        tex_f, tex_i, scene.atlas, normal_tex, rec.uv[..., 0], rec.uv[..., 1], rec.p
-    )
-    nm = normal_int_to_float(nm)
+    has_normal = mat["has_normal"] == 1
+    nm = normal_int_to_float(pack[..., 3:6])
     # TBN columns: tangent, bitangent, normal (material.h:179-185)
     world_nm = (
         rec.tangent * nm[..., 0:1]
@@ -113,23 +175,14 @@ def _shade_pbr(scene, mat, tex, rec, ray_dir, unit_sphere_dir):
     )
     normal = jnp.where(has_normal[..., None], unit_vector(world_nm), rec.normal)
 
-    metallic_tex = mat["metallic_tex"]
-    mtex = texture_value_packed(
-        tex_f, tex_i, scene.atlas, metallic_tex, rec.uv[..., 0], rec.uv[..., 1], rec.p
-    )
     m = jnp.where(
-        metallic_tex >= 0,
-        jnp.clip(mtex[..., 0] / 255.0, 0.0, 1.0),  # red channel, material.h:191
+        mat["has_metal"] == 1,
+        jnp.clip(pack[..., 6] / 255.0, 0.0, 1.0),  # red channel, material.h:191
         mat["metallic"],
     )
-
-    roughness_tex = mat["roughness_tex"]
-    rtex = texture_value_packed(
-        tex_f, tex_i, scene.atlas, roughness_tex, rec.uv[..., 0], rec.uv[..., 1], rec.p
-    )
     r = jnp.where(
-        roughness_tex >= 0,
-        jnp.clip(rtex[..., 1] / 255.0, 0.0, 1.0),  # green channel, material.h:197
+        mat["has_rough"] == 1,
+        jnp.clip(pack[..., 7] / 255.0, 0.0, 1.0),  # green channel, material.h:197
         mat["roughness"],
     )
 
@@ -185,42 +238,6 @@ def _shade_dielectric(mat, rec, ray_dir, uniform_sample):
     return jnp.ones_like(direction), direction
 
 
-def _emitted(scene, mat, tex, rec):
-    tex_f, tex_i = tex
-    emit_tex = mat["emit_tex"]
-    is_light = mat["type"] == MAT_LIGHT
-    val = texture_value_packed(
-        tex_f, tex_i, scene.atlas, emit_tex, rec.uv[..., 0], rec.uv[..., 1], rec.p
-    )
-    return jnp.where((is_light & (emit_tex >= 0))[..., None], val, 0.0)
-
-
-def material_packs(scene):
-    """Packed material tables: float rows [M,8], int rows [M,6]."""
-    mat_f = jnp.concatenate(
-        [
-            scene.mat_base_color,
-            scene.mat_metallic[:, None],
-            scene.mat_roughness[:, None],
-            scene.mat_fuzz[:, None],
-            scene.mat_ior[:, None],
-        ],
-        axis=1,
-    )
-    mat_i = jnp.stack(
-        [
-            scene.mat_type,
-            scene.mat_albedo_tex,
-            scene.mat_normal_tex,
-            scene.mat_metallic_tex,
-            scene.mat_roughness_tex,
-            scene.mat_emit_tex,
-        ],
-        axis=1,
-    )
-    return mat_f, mat_i
-
-
 def shade(scene, rec, ray_dir, rand) -> ScatterSample:
     """Evaluate all materials and select by id.
 
@@ -229,28 +246,36 @@ def shade(scene, rec, ray_dir, rand) -> ScatterSample:
       ``uniform`` [R] (dielectric reflect/refract choice).
     """
     mat_f, mat_i = material_packs(scene)
-    gf = mat_f[rec.mat_id]
-    gi = mat_i[rec.mat_id]
+    gf = table_lookup(mat_f, rec.mat_id)
+    gi = table_lookup(mat_i, rec.mat_id)
     mat = {
         "base_color": gf[:, 0:4],
         "metallic": gf[:, 4],
         "roughness": gf[:, 5],
         "fuzz": gf[:, 6],
         "ior": gf[:, 7],
+        "albedo_c0": gf[:, 8:11],
+        "albedo_c1": gf[:, 11:14],
+        "emit_rgb": gf[:, 14:17],
         "type": gi[:, 0],
-        "albedo_tex": gi[:, 1],
-        "normal_tex": gi[:, 2],
-        "metallic_tex": gi[:, 3],
-        "roughness_tex": gi[:, 4],
-        "emit_tex": gi[:, 5],
+        "albedo_kind": gi[:, 1],
+        "has_normal": gi[:, 2],
+        "has_metal": gi[:, 3],
+        "has_rough": gi[:, 4],
+        "pack_layer": gi[:, 5],
+        "pack_w": gi[:, 6],
+        "pack_h": gi[:, 7],
     }
-    tex = texture_packs(scene)
     mtype = mat["type"]
+    pack = _sample_pack(scene, mat, rec.uv)
 
-    pbr_att, pbr_dir = _shade_pbr(scene, mat, tex, rec, ray_dir, rand["unit_vector"])
+    pbr_att, pbr_dir = _shade_pbr(
+        scene, mat, pack, rec, ray_dir, rand["unit_vector"]
+    )
     met_att, met_dir, met_ok = _shade_metal(mat, rec, ray_dir, rand["unit_ball"])
     die_att, die_dir = _shade_dielectric(mat, rec, ray_dir, rand["uniform"])
-    emitted = _emitted(scene, mat, tex, rec)
+    # diffuseLight: emitted = solid emit color (material.h:148-151)
+    emitted = jnp.where((mtype == MAT_LIGHT)[..., None], mat["emit_rgb"], 0.0)
 
     def sel(mask, a, b):
         return jnp.where(mask[..., None] if a.ndim > 1 else mask, a, b)

@@ -60,7 +60,7 @@ def test_grads_finite_and_nonzero():
     scene, f, args = _setup()
     params = extract_params(
         scene,
-        ("atlas", "mat_base_color", "mat_metallic", "mat_roughness",
+        ("shade_atlas", "mat_base_color", "mat_metallic", "mat_roughness",
          "sph_c0", "sph_c1", "tri_v0"),
     )
     loss, grads = jax.value_and_grad(f)(params, *args)
@@ -69,7 +69,7 @@ def test_grads_finite_and_nonzero():
         g = np.asarray(g)
         assert np.isfinite(g).all(), f"{name} grad has NaN/inf"
     # the materials/atlas/geometry all affect the image here
-    for name in ("atlas", "mat_base_color", "sph_c0", "tri_v0"):
+    for name in ("shade_atlas", "mat_base_color", "sph_c0", "tri_v0"):
         assert np.abs(np.asarray(grads[name])).max() > 0, f"{name} grad all-zero"
 
 
@@ -81,20 +81,20 @@ def test_finite_difference_match():
     """
     scene, f, args = _setup()
     rng = np.random.default_rng(0)
-    for name in ("mat_base_color", "mat_roughness", "atlas"):
+    for name in ("mat_base_color", "mat_roughness", "shade_atlas"):
         params = extract_params(scene, (name,))
         grads = jax.grad(f)(params, *args)[name]
         direction = rng.normal(size=params[name].shape).astype(np.float32)
         # central difference; atlas values are 0-255 scale and its loss
         # contribution is small, so it needs a large step to rise above
         # f32 loss quantization
-        eps = 1e-3 if name != "atlas" else 4.0
+        eps = 1e-3 if name != "shade_atlas" else 4.0
         p_plus = {name: params[name] + eps * direction}
         p_minus = {name: params[name] - eps * direction}
         fd = (float(f(p_plus, *args)) - float(f(p_minus, *args))) / (2 * eps)
         ad = float(jnp.sum(grads * direction))
         denom = max(abs(fd), abs(ad), 1e-6)
-        tol = 0.08 if name != "atlas" else 0.15
+        tol = 0.08 if name != "shade_atlas" else 0.15
         assert abs(fd - ad) / denom < tol, (name, fd, ad)
 
 
