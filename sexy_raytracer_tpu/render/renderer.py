@@ -14,6 +14,7 @@ Pixel-to-viewport mapping replicates main.cpp:209-211:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -76,9 +77,10 @@ def render(
     camera: Camera | None = None,
     method: str = "auto",
     progress: bool = False,
+    checkpoint: str | None = None,
 ) -> np.ndarray:
     """Full render -> resolved (gamma-encoded) float image ``[H,W,3]``."""
-    accum = render_accumulate(scene, config, camera, method, progress)
+    accum = render_accumulate(scene, config, camera, method, progress, checkpoint)
     return np.asarray(colorlib.resolve(accum, config.samples_per_pixel))
 
 
@@ -88,8 +90,17 @@ def render_accumulate(
     camera: Camera | None = None,
     method: str = "auto",
     progress: bool = False,
+    checkpoint: str | None = None,
 ):
-    """Raw accumulated radiance (sum over samples) ``[H,W,3]`` numpy array."""
+    """Raw accumulated radiance (sum over samples) ``[H,W,3]`` numpy array.
+
+    ``checkpoint``: optional npz path for resumable renders. The per-pixel
+    sample accumulator is the natural checkpoint (SURVEY §5 — the reference
+    is all-or-nothing, main.cpp:237): after every (chunk, sample-batch)
+    unit the accumulator and progress counter are saved; a rerun with the
+    same config resumes additively. The counter-based RNG makes the result
+    identical to an uninterrupted run.
+    """
     W, H = config.width, config.height
     spp = config.samples_per_pixel
     spb = min(config.samples_per_batch, spp)
@@ -101,15 +112,41 @@ def render_accumulate(
     P = W * H
     chunk = max(1, min(config.rays_per_chunk // spb, P))
     accum = np.zeros((P, 3), np.float32)
+    units_done = 0
 
+    if checkpoint is not None and os.path.exists(checkpoint):
+        saved = np.load(checkpoint)
+        if (
+            saved["shape"].tolist() == [H, W]
+            and int(saved["spp"]) == spp
+            and int(saved["seed"]) == config.seed
+            and int(saved["chunk"]) == chunk
+            and int(saved["spb"]) == spb
+        ):
+            accum = saved["accum"]
+            units_done = int(saved["units_done"])
+            if progress:
+                print(f"resuming from {checkpoint} (unit {units_done})")
+
+    unit = 0
     for start in range(0, P, chunk):
         ids = np.arange(start, min(start + chunk, P), dtype=np.int32)
         n_valid = ids.shape[0]
         if n_valid < chunk:
             ids = np.pad(ids, (0, chunk - n_valid))
-        ids_dev = jnp.asarray(ids)
-        chunk_accum = jnp.zeros((chunk, 3), jnp.float32)
+        ids_dev = None
+        chunk_accum = None
+        dirty = False
         for s0 in range(0, spp, spb):
+            if unit < units_done:
+                unit += 1
+                continue
+            if ids_dev is None:
+                ids_dev = jnp.asarray(ids)
+                chunk_accum = jnp.asarray(accum[start : start + chunk]
+                                          if n_valid == chunk
+                                          else np.pad(accum[start:start + n_valid],
+                                                      ((0, chunk - n_valid), (0, 0))))
             n_s = min(spb, spp - s0)  # final batch may be partial
             out = render_chunk(
                 scene,
@@ -126,7 +163,22 @@ def render_accumulate(
                 method=method,
             )
             chunk_accum = chunk_accum + out
-        accum[start : start + n_valid] = np.asarray(chunk_accum)[:n_valid]
+            unit += 1
+            dirty = True
+        if dirty:
+            accum[start : start + n_valid] = np.asarray(chunk_accum)[:n_valid]
+            units_done = unit
+            if checkpoint is not None:
+                np.savez(
+                    checkpoint,
+                    accum=accum,
+                    units_done=units_done,
+                    shape=np.asarray([H, W]),
+                    spp=spp,
+                    seed=config.seed,
+                    chunk=chunk,
+                    spb=spb,
+                )
         if progress:
             done = min(start + chunk, P)
             print(f"\rpixels {done}/{P}", end="", flush=True)
@@ -141,6 +193,9 @@ def render_image(
     camera: Camera | None = None,
     method: str = "auto",
     progress: bool = False,
+    checkpoint: str | None = None,
 ) -> np.ndarray:
     """Full render -> uint8 RGB image ``[H,W,3]`` (gamma-2, reference color.h)."""
-    return colorlib.to_uint8(render(scene, config, camera, method, progress))
+    return colorlib.to_uint8(
+        render(scene, config, camera, method, progress, checkpoint)
+    )
