@@ -1,0 +1,154 @@
+// Parity-test oracle driver: compiles the REFERENCE HEADERS UNMODIFIED
+// (straight out of the read-only /root/reference checkout via -I) against
+// the from-scratch shims in shims/ (mini-Eigen, cgltf, stb via libpng), and
+// re-states the reference's driver logic (main.cpp:33-52 rayColor,
+// main.cpp:54-154 randomScene active branch, main.cpp:156-242 sample loop)
+// with image size / spp / bounces taken from argv instead of compile-time
+// constants.
+//
+// Purpose: ground-truth renders of the reference's ACTUAL single-thread C++
+// semantics for statistical comparison against the TPU framework — the
+// checked-in golden images predate asset changes (the rustediron2-2x1
+// textures referenced at main.cpp:133-136 do not exist in data/), so only a
+// fresh run of the reference code itself is a valid comparison target.
+//
+// Build/run: see build.sh / tests/test_reference_parity.py.
+
+#include <cstdlib>
+#include <iostream>
+#include <memory>
+#include <ostream>
+
+#include "Eigen/Core"
+#include "Eigen/Geometry"
+
+#include "stb_image.h"
+#include "stb_image_write.h"
+
+// reference headers, included from /root/reference (never copied)
+#include "globals.h"
+#include "color.h"
+#include "hittablelist.h"
+#include "sphere.h"
+#include "camera.h"
+#include "material.h"
+#include "bvh.h"
+#include "model.h"
+
+using namespace Eigen;
+using std::uint8_t;
+
+// main.cpp:33-52, restated
+static color3f rayColor(const ray& r, const color3f& background,
+                        const hittable& world, int maxBounce) {
+  hitRecord record;
+  if (maxBounce <= 0) return color3f(0, 0, 0);
+  if (!world.hit(r, 0.001f, infinity, record)) return background;
+
+  ray scattered;
+  color3f attenuation;
+  color3f emitted =
+      record.matPtr->emitted(record.uv(0), record.uv(1), record.p);
+  if (!record.matPtr->scatter(r, record, attenuation, scattered))
+    return emitted;
+
+  color3f next = rayColor(scattered, background, world, maxBounce - 1);
+  return emitted + color3f(next(0) * attenuation(0), next(1) * attenuation(1),
+                           next(2) * attenuation(2));
+}
+
+// main.cpp:54-154 active branch (masterchief2-separate-xf + ground checker +
+// HDR light + rustediron sphere [textures missing -> magenta sentinel] +
+// mirror metal sphere, all under one bvhNode)
+static hittableList buildScene(const char* gltf_path) {
+  hittableList objects;
+  hittableList scene;
+
+  auto testModel = model::create(gltf_path);
+  testModel->init();
+  for (const auto& m : testModel->meshes)
+    for (const auto& tri : m->triangles) objects.add(tri);
+
+  auto checkerTex = make_shared<checker>(color3f(0.2f, 0.3f, 0.1f),
+                                         color3f(0.9f, 0.9f, 0.9f));
+  objects.add(make_shared<sphere>(vec3f(0, -1000, 0.0f), vec3f(0, -1000, 0.0f),
+                                  0, 1.0f, 1000,
+                                  make_shared<pbrMetallicRoughness>(checkerTex)));
+
+  auto lightMat =
+      make_shared<diffuseLight>(color3f(250.2f, 220.9f, 110.2f));
+  objects.add(make_shared<sphere>(vec3f(-7.0f, 4.0f, 6.0f),
+                                  vec3f(-7.0f, 4.0f, 6.0f), 0, 1.0f, 1.0f,
+                                  lightMat));
+
+  auto ironAlbedo =
+      make_shared<imagePNG>("../data/rustediron2_basecolor-2x1.png", 3);
+  auto ironNMap =
+      make_shared<imagePNG>("../data/rustediron2_normal-2x1.png", 3);
+  auto ironMMap =
+      make_shared<imagePNG>("../data/rustediron2_metallic-2x1.png", 1);
+  auto ironRMap =
+      make_shared<imagePNG>("../data/rustediron2_roughness-2x1.png", 1);
+  auto ironMat = make_shared<pbrMetallicRoughness>(
+      ironAlbedo, ironNMap, ironMMap, ironRMap,
+      vec4f(1.0f, 1.0f, 1.0f, 1.0f));
+  objects.add(make_shared<sphere>(vec3f(-3.0f, 1.0f, 0.0f),
+                                  vec3f(-3.0f, 1.0f, 0.0f), 0, 1.0f, 1.0f,
+                                  ironMat));
+
+  auto material3 = make_shared<metal>(color3f(0.7, 0.6, 0.5), 0.0);
+  objects.add(make_shared<sphere>(vec3f(3.0f, 1.0f, 0), vec3f(3.0f, 1.0f, 0),
+                                  0, 1.0f, 1.0f, material3));
+
+  scene.add(make_shared<bvhNode>(objects, 0, 1));
+  return scene;
+}
+
+int main(int argc, char** argv) {
+  // argv: width height spp maxBounce out.png [gltf]
+  const int imageWidth = argc > 1 ? std::atoi(argv[1]) : 426;
+  const int imageHeight = argc > 2 ? std::atoi(argv[2]) : 240;
+  const int numSamples = argc > 3 ? std::atoi(argv[3]) : 100;
+  const int maxBounce = argc > 4 ? std::atoi(argv[4]) : 4;
+  const char* outPath = argc > 5 ? argv[5] : "oracle.png";
+  const char* gltfPath =
+      argc > 6 ? argv[6] : "../data/masterchief2-separate-xf.gltf";
+
+  // main.cpp:163-172 camera
+  vec3f eye(0.0f, 3.0f, 5.0f);
+  vec3f lookAt(0, 2.5f, 0);
+  vec3f vUp(0, 1.0f, 0);
+  float distToFocus = 10.0f;
+  float aperture = 0.1f;
+  color3f background(0.53f, 0.81f, 0.92f);
+  float aspect = float(imageWidth) / float(imageHeight);
+  camera mainCamera(eye, lookAt, vUp, 70.0f, aspect, aperture, distToFocus, 0,
+                    1.0f);
+
+  uint8_t* target = static_cast<uint8_t*>(
+      std::malloc(sizeof(uint8_t) * 4 * imageWidth * imageHeight));
+
+  hittableList world = buildScene(gltfPath);
+
+  // main.cpp:200-227 pixel/sample loops
+  for (int y = 0; y < imageHeight; ++y) {
+    std::cerr << "\rScanlines remaining: " << (imageHeight - y) << ' '
+              << std::flush;
+    for (int x = 0; x < imageWidth; ++x) {
+      color3f pixelColor(0, 0, 0);
+      for (int s = 0; s < numSamples; ++s) {
+        auto u = float(x + randomFloat()) / (imageWidth - 1);
+        auto v = float((imageHeight - y) + randomFloat()) / (imageHeight - 1);
+        ray r = mainCamera.getRay(u, v);
+        pixelColor += rayColor(r, background, world, maxBounce);
+      }
+      writeColorTarget(target, x, y, imageWidth, imageHeight, 4, pixelColor,
+                       numSamples);
+    }
+  }
+
+  stbi_write_png(outPath, imageWidth, imageHeight, 4, target, 4 * imageWidth);
+  std::free(target);
+  std::cerr << "\nDone.\n";
+  return 0;
+}
