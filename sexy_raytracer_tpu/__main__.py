@@ -38,6 +38,11 @@ def _add_render_args(p):
 def _build(args):
     from sexy_raytracer_tpu.models import presets
 
+    if args.preset not in presets.PRESETS:
+        raise SystemExit(
+            f"unknown preset {args.preset!r}; available: "
+            + ", ".join(sorted(presets.PRESETS))
+        )
     kwargs = {}
     if args.data_dir and args.preset != "shirley":
         kwargs["data_dir"] = args.data_dir

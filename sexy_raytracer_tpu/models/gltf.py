@@ -245,8 +245,15 @@ def load_gltf(
                 normal_tex=image_tex(normal_tex),
                 mr_tex=image_tex(mr_tex),
                 base_color=tuple(pbr.get("baseColorFactor", [1.0, 1.0, 1.0, 1.0])),
-                metallic=float(pbr.get("metallicFactor", 1.0)),
-                roughness=float(pbr.get("roughnessFactor", 1.0)),
+                # Absent factors default to 0, NOT the glTF-spec 1.0: the
+                # reference's vendored cgltf era zero-filled unset factors,
+                # and the checked-in goldens confirm it — with roughness=1
+                # the chief gains an untinted GGX specular lobe and renders
+                # ~8-12/255 brighter/bluer than images/test-1kx240p.png,
+                # while roughness=0 matches the golden's red channel to
+                # 0.1/255 (see VALIDATION.md §4).
+                metallic=float(pbr.get("metallicFactor", 0.0)),
+                roughness=float(pbr.get("roughnessFactor", 0.0)),
             )
         )
     default_mat = None
@@ -293,7 +300,7 @@ def load_gltf(
             else:
                 if default_mat is None:
                     default_mat = builder.add_pbr_material(
-                        base_color=(1.0, 1.0, 1.0, 1.0), metallic=1.0, roughness=1.0
+                        base_color=(1.0, 1.0, 1.0, 1.0), metallic=0.0, roughness=0.0
                     )
                 mat = default_mat
             builder.add_mesh(positions, texcoords, idx, mat)
