@@ -52,7 +52,7 @@ from sexy_raytracer_tpu.models.scene import (
     MAT_METAL,
     MAT_PBR,
 )
-from sexy_raytracer_tpu.ops.lookup import table_lookup
+from sexy_raytracer_tpu.ops.lookup import atlas_lookup, table_lookup
 from sexy_raytracer_tpu.utils.mathx import (
     EPSILON,
     PI,
@@ -140,8 +140,10 @@ def _sample_pack(scene, mat, uv):
     xi = jnp.minimum((uu * w).astype(jnp.int32), w - 1)
     yj = jnp.minimum((vv * h).astype(jnp.int32), h - 1)
     flat = (layer * H + yj) * W + xi
-    # big table: plain gather (scatter-add backward), one per bounce
-    return scene.shade_atlas.reshape(L * H * W, C)[flat]
+    # big table: atlas_lookup's backward is a factorized one-hot matmul
+    # (MXU) — a plain gather's scatter-add VJP serializes on duplicate
+    # texel hits and dominated the whole train step (ops/lookup.py)
+    return atlas_lookup(scene.shade_atlas.reshape(L * H, W, C), flat)
 
 
 # -- material models --------------------------------------------------------

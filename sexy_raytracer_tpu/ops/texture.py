@@ -29,6 +29,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from sexy_raytracer_tpu.models.scene import TEX_CHECKER, TEX_IMAGE
+from sexy_raytracer_tpu.ops.lookup import atlas_lookup
 
 
 def texture_packs(scene):
@@ -71,7 +72,7 @@ def texture_value_packed(tex_f, tex_i, atlas, tex_id, u, v, p):
     yj = jnp.minimum((vv * h).astype(jnp.int32), h - 1)
     L, H, W, _ = atlas.shape
     flat = (layer * H + yj) * W + xi
-    image = jnp.take(atlas.reshape(L * H * W, 3), flat, axis=0)
+    image = atlas_lookup(atlas.reshape(L * H, W, 3), flat)
 
     out = jnp.where((ttype == TEX_CHECKER)[..., None], checker, c0)
     out = jnp.where((ttype == TEX_IMAGE)[..., None], image, out)
