@@ -127,6 +127,13 @@ class SceneData(NamedTuple):
     tri_q: jnp.ndarray       # [T,3,3] q_i = N x e_i edge test vectors
     tri_c: jnp.ndarray       # [T,3]   c_i = q_i . v_i edge test offsets
 
+    # -- triangle cluster AABBs for the lockstep cull kernel -------------
+    # Triangles are stored in spatial (BVH-DFS) order; cluster c covers
+    # triangles [c*CLUSTER_SIZE, (c+1)*CLUSTER_SIZE) (models/clusters.py,
+    # consumed by ops/pallas_find.py). Static per scene (not trainable).
+    cluster_min: jnp.ndarray  # [NC,3]
+    cluster_max: jnp.ndarray  # [NC,3]
+
     # ------------------------------------------------------------------
     @property
     def num_triangles(self) -> int:
@@ -390,6 +397,19 @@ class SceneBuilder:
             np.concatenate(tmats) if tmats else np.zeros((0,), dtype=i32)
         )
 
+        # spatial (BVH-DFS) triangle ordering + cluster AABBs for the
+        # lockstep cull kernel (models/clusters.py, ops/pallas_find.py).
+        # Rendering is order-independent (true closest hit — the
+        # traversal-order quirk of model.h:128 is deliberately dropped),
+        # so permuting here is semantics-preserving.
+        from sexy_raytracer_tpu.models.clusters import triangle_order
+
+        order, cluster_min, cluster_max = triangle_order(tri_v0, tri_v1, tri_v2)
+        if order.size:
+            tri_v0, tri_v1, tri_v2 = tri_v0[order], tri_v1[order], tri_v2[order]
+            tri_uv0, tri_uv1, tri_uv2 = tri_uv0[order], tri_uv1[order], tri_uv2[order]
+            tri_mat = tri_mat[order]
+
         # spheres
         S = len(self._spheres)
         sph_c0 = np.zeros((S, 3), f32)
@@ -624,6 +644,8 @@ class SceneBuilder:
             tri_d=tri_d.astype(f32),
             tri_q=tri_q.astype(f32),
             tri_c=tri_c.astype(f32),
+            cluster_min=cluster_min,
+            cluster_max=cluster_max,
         )
 
         if build_bvh and (scene.num_triangles + scene.num_spheres) > 0:

@@ -106,18 +106,34 @@ def _tri_candidates(scene, org, dir, t_min, tile):
     def body(carry, xs):
         best_t, best_i = carry
         n_t, d_t, q_t, c_t, idx_t, valid_t = xs
-        # [R, tile] plane terms
-        ndir = jnp.einsum("rc,tc->rt", dir, n_t)
-        no = jnp.einsum("rc,tc->rt", org, n_t) + d_t[None, :]
+        # [R, tile] plane terms, component-explicit in the same evaluation
+        # order as the Pallas kernel (ops/pallas_find.py) so the two paths
+        # agree to the FMA on near-edge cases.
+        ox, oy, oz = org[:, 0:1], org[:, 1:2], org[:, 2:3]
+        dx, dy, dz = dir[:, 0:1], dir[:, 1:2], dir[:, 2:3]
+        ndir = dx * n_t[None, :, 0] + dy * n_t[None, :, 1] + dz * n_t[None, :, 2]
+        a_n = (
+            ox * n_t[None, :, 0] + oy * n_t[None, :, 1] + oz * n_t[None, :, 2]
+            + d_t[None, :]
+        )
         # parallel + back-face cull (model.h:119-123): accept ndir <= -eps
         plane_ok = ndir <= -EPSILON
-        safe_ndir = jnp.where(plane_ok, ndir, -1.0)
-        t = -no / safe_ndir
-        # edge half-space tests: w_i = q_i.(o + t*dir) - c_i >= 0
-        qo = jnp.einsum("rc,tkc->rtk", org, q_t)
-        qd = jnp.einsum("rc,tkc->rtk", dir, q_t)
-        w = qo + t[..., None] * qd - c_t[None, :, :]
-        inside = jnp.all(w >= 0.0, axis=-1)
+        t = -a_n / jnp.where(plane_ok, ndir, -1.0)
+        # edge half-space tests at the hit point: w_i = q_i.p - c_i >= 0.
+        # Evaluating at p (not as q.o + t*(q.d)) is the numerically tighter
+        # form (f64-referee verified).
+        px = ox + t * dx
+        py = oy + t * dy
+        pz = oz + t * dz
+        inside = None
+        for k in range(3):
+            e = (
+                q_t[None, :, k, 0] * px
+                + q_t[None, :, k, 1] * py
+                + q_t[None, :, k, 2] * pz
+                - c_t[None, :, k]
+            ) >= 0.0
+            inside = e if inside is None else (inside & e)
         ok = plane_ok & inside & (t >= t_min[:, None]) & valid_t[None, :]
         t = jnp.where(ok, t, jnp.inf)
         tile_best = jnp.min(t, axis=1)
@@ -197,20 +213,31 @@ def find_hit_bruteforce(scene, org, dir, time, t_min=None, tri_tile=512):
 
 
 def find_hit(scene, org, dir, time, t_min=None, method="auto"):
-    """Dispatch hit finding. ``method``: auto | bruteforce | pallas | bvh."""
-    if method in ("auto", "pallas"):
-        # The fused Pallas kernel is the TPU fast path; fall back on CPU.
-        try:
-            from sexy_raytracer_tpu.ops.pallas_intersect import (
-                find_hit_pallas,
-                pallas_supported,
-            )
+    """Dispatch hit finding.
 
-            if method == "pallas" or pallas_supported():
-                return find_hit_pallas(scene, org, dir, time, t_min)
-        except ImportError:
-            pass
+    ``method``:
+      * ``auto`` — the clustered Pallas kernel on TPU, jnp brute force on CPU.
+      * ``pallas`` — the clustered Pallas kernel (interpret-mode on CPU).
+      * ``pallas_nocull`` — same kernel with culling disabled (test aid).
+      * ``pallas_mxu`` — the round-1 MXU matmul kernel (kept for comparison).
+      * ``bruteforce`` — tiled jnp scan.
+      * ``bvh`` — vmapped while-loop BVH traversal.
+    """
+    if method in ("auto", "pallas", "pallas_nocull"):
+        from sexy_raytracer_tpu.ops.pallas_find import (
+            find_hit_clustered,
+            pallas_supported,
+        )
+
+        if method != "auto" or pallas_supported():
+            return find_hit_clustered(
+                scene, org, dir, time, t_min, cull=(method != "pallas_nocull")
+            )
         method = "bruteforce"
+    if method == "pallas_mxu":
+        from sexy_raytracer_tpu.ops.pallas_intersect import find_hit_pallas
+
+        return find_hit_pallas(scene, org, dir, time, t_min)
     if method == "bvh":
         from sexy_raytracer_tpu.ops.bvh_traverse import find_hit_bvh
 

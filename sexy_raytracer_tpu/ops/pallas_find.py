@@ -1,0 +1,369 @@
+"""Pallas TPU kernel: clustered closest-hit search (triangles + spheres).
+
+This is the hot kernel of the framework — the TPU-native replacement for
+the reference's BVH traversal loop (reference bvh.h:97-105 and its GPU
+prototype shaders/compute.glsl:154-185). Design notes:
+
+* **VPU, not MXU.** The ray-triangle test is dot products with contraction
+  depth 3-4; on the MXU that pads to k=128 (~3% utilization — measured
+  28.5 ms per 131k-ray launch for the round-1 matmul kernel). Here every
+  per-(ray, triangle) quantity is an ``[BR, CK]`` broadcast on the VPU.
+* **Whole scene resident in VMEM.** The triangle plane/edge pack
+  (16 floats per triangle) lives in VMEM across the whole grid: 3k
+  triangles = 196 KB. Ray blocks stream through. No HBM traffic per tile.
+* **Lockstep cluster culling instead of per-ray stacks.** Per-lane BVH
+  stacks are architecturally hostile on a vector machine (per-lane
+  gathers); per-cluster ``lax.cond``s are scalar-unit serialization.
+  Instead triangles are pre-sorted into spatially-coherent clusters of
+  ``CLUSTER_SIZE`` (models/clusters.py — the reference's flattened-BVH
+  idea rebuilt for lockstep lanes), XLA computes a *compacted per-block
+  active-cluster list* from the cluster AABBs, and the kernel runs a
+  dynamic-bound ``fori_loop`` over exactly the active clusters (scalar
+  prefetch). Divergence cost is paid per block, not per lane. Measured
+  block occupancy on the flagship scene at 32x16-pixel ray blocks: ~1.6%
+  of (block, cluster) pairs active.
+* **Spheres ride the sublane axis.** With a handful of spheres, a
+  [rays, spheres]-on-lanes layout pads to 128 lanes (16x waste); the
+  sphere test instead runs transposed ([spheres-sublanes, rays-lanes])
+  on a second, transposed ray block.
+* Triangle semantics match the reference: back-face cull + parallel
+  reject as one test (``n.dir <= -eps``, model.h:119-123), edge
+  half-space tests evaluated at the hit point (``q_i.p - c_i >= 0``,
+  algebraically the cross-product inside tests of model.h:136-154 and
+  numerically *tighter* than the q.o + t q.d form — verified against an
+  f64 referee), ``t >= t_min`` only; the true closest hit is kept via the
+  running min (the reference's missing-tMax traversal quirk is
+  deliberately not reproduced, see ops/intersect.py).
+  Sphere semantics: half-b quadratic, nearest root >= t_min
+  (sphere.h:54-83), lerped center at ray time (sphere.h:47-52).
+
+Hit *finding* is non-differentiable by design (SURVEY §7): gradients flow
+through ops/intersect.hit_data recomputation, so this kernel needs no VJP.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sexy_raytracer_tpu.models.clusters import CLUSTER_SIZE
+from sexy_raytracer_tpu.utils.mathx import EPSILON
+
+RAY_BLOCK = 512
+_BIG = 3.0e38
+
+
+def pallas_supported() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+def _find_kernel(n_tris, n_sph, lists_ref, rays_ref, rays_t_ref, tri_ref,
+                 sph_ref, out_t_ref, out_i_ref):
+    """Grid (NB,).
+
+    lists_ref (SMEM prefetch) [NB, NC+1]: active count + cluster ids.
+    rays_ref   [BR, 8]  f32: ox oy oz dx dy dz time t_min
+    rays_t_ref [8, BR]  f32: the same, transposed (sphere path)
+    tri_ref    [NC, 16, CK] triangle plane/edge pack
+    sph_ref    [Spad, 8]: base xyz, delta xyz, radius, valid (columns)
+    out: [BR, 1] f32 best t, [BR, 1] int32 global prim id (-1 miss)
+    """
+    b = pl.program_id(0)
+    BR = rays_ref.shape[0]
+
+    # ---- spheres: [Spad sublanes, BR lanes] -----------------------------
+    if n_sph > 0:
+        rays_t = rays_t_ref[...]
+        oxl, oyl, ozl = rays_t[0:1, :], rays_t[1:2, :], rays_t[2:3, :]
+        dxl, dyl, dzl = rays_t[3:4, :], rays_t[4:5, :], rays_t[5:6, :]
+        tml = rays_t[6:7, :]
+        t_min_l = rays_t[7:8, :]
+        sph = sph_ref[...]
+        bx, by, bz = sph[:, 0:1], sph[:, 1:2], sph[:, 2:3]
+        vx, vy, vz = sph[:, 3:4], sph[:, 4:5], sph[:, 5:6]
+        rad, s_valid = sph[:, 6:7], sph[:, 7:8] > 0.0
+        cx = bx + vx * tml                     # [Spad, BR]
+        cy = by + vy * tml
+        cz = bz + vz * tml
+        ocx, ocy, ocz = oxl - cx, oyl - cy, ozl - cz
+        a = dxl * dxl + dyl * dyl + dzl * dzl  # [1, BR]
+        half_b = ocx * dxl + ocy * dyl + ocz * dzl
+        cterm = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+        disc = half_b * half_b - a * cterm
+        has = disc >= 0.0
+        sq = jnp.sqrt(jnp.where(has, disc, 0.0))
+        inv_a = 1.0 / jnp.where(a == 0.0, 1.0, a)
+        root0 = (-half_b - sq) * inv_a
+        root1 = (-half_b + sq) * inv_a
+        ok0 = has & (root0 >= t_min_l) & s_valid
+        ok1 = has & (root1 >= t_min_l) & s_valid
+        tc = jnp.where(ok0, root0, jnp.where(ok1, root1, _BIG))
+        srow = jax.lax.broadcasted_iota(jnp.int32, tc.shape, 0)
+        sph_t = jnp.min(tc, axis=0, keepdims=True)              # [1, BR]
+        sph_i = jnp.min(
+            jnp.where(tc <= sph_t, n_tris + srow, jnp.int32(2**30)),
+            axis=0, keepdims=True,
+        )
+        best_t0 = sph_t.reshape(BR, 1)    # relayout to rays-on-sublanes
+        best_i0 = jnp.where(sph_t < _BIG, sph_i, -1).reshape(BR, 1)
+    else:
+        best_t0 = jnp.full((BR, 1), _BIG, jnp.float32)
+        best_i0 = jnp.full((BR, 1), -1, jnp.int32)
+
+    # ---- triangles: [BR sublanes, CK lanes], active clusters only -------
+    n_clusters = tri_ref.shape[0]
+    if n_clusters > 0 and n_tris > 0:
+        rays = rays_ref[...]
+        ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
+        dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
+        t_min = rays[:, 7:8]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (BR, CLUSTER_SIZE), 1)
+
+        def tri_tile(k, carry):
+            best_t, best_i = carry
+            c = lists_ref[b, 1 + k]
+            tile = tri_ref[c]                  # [16, CK]
+            nx, ny, nz = tile[0:1, :], tile[1:2, :], tile[2:3, :]
+            d = tile[3:4, :]
+            ndir = dx * nx + dy * ny + dz * nz             # [BR, CK]
+            a_n = ox * nx + oy * ny + oz * nz + d
+            # back-face cull + parallel reject in one (model.h:119-123)
+            plane_ok = ndir <= -EPSILON
+            t = -a_n / jnp.where(plane_ok, ndir, -1.0)
+            px = ox + t * dx
+            py = oy + t * dy
+            pz = oz + t * dz
+            e0 = tile[4:5] * px + tile[5:6] * py + tile[6:7] * pz - tile[7:8]
+            e1 = tile[8:9] * px + tile[9:10] * py + tile[10:11] * pz - tile[11:12]
+            e2 = tile[12:13] * px + tile[13:14] * py + tile[14:15] * pz - tile[15:16]
+            valid = (
+                plane_ok
+                & (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+                & (t >= t_min)
+            )
+            tc = jnp.where(valid, t, _BIG)
+            tile_t = jnp.min(tc, axis=1, keepdims=True)    # [BR, 1]
+            win = jnp.min(
+                jnp.where(tc <= tile_t, c * CLUSTER_SIZE + lane, jnp.int32(2**30)),
+                axis=1, keepdims=True,
+            )
+            better = tile_t < best_t
+            best_t = jnp.where(better, tile_t, best_t)
+            best_i = jnp.where(better, win, best_i)
+            return best_t, best_i
+
+        count = lists_ref[b, 0]
+        init = (
+            jnp.full((BR, 1), _BIG, jnp.float32),
+            jnp.full((BR, 1), -1, jnp.int32),
+        )
+        tri_t, tri_i = jax.lax.fori_loop(0, count, tri_tile, init)
+        better = tri_t < best_t0
+        best_t0 = jnp.where(better, tri_t, best_t0)
+        best_i0 = jnp.where(better, tri_i, best_i0)
+
+    out_t_ref[...] = best_t0
+    out_i_ref[...] = jnp.where(best_t0 < _BIG, best_i0, -1)
+
+
+# ---------------------------------------------------------------------------
+# host-side packing
+# ---------------------------------------------------------------------------
+
+def _pack_triangles(scene):
+    """[NC, 16, CK] plane/edge pack: rows n(3), d, q(9 interleaved), c(3)."""
+    T = scene.tri_v0.shape[0]
+    ck = CLUSTER_SIZE
+    nc = -(-T // ck)
+    pad = nc * ck - T
+    rows = [
+        scene.tri_n[:, 0], scene.tri_n[:, 1], scene.tri_n[:, 2],
+        scene.tri_d,
+        scene.tri_q[:, 0, 0], scene.tri_q[:, 0, 1], scene.tri_q[:, 0, 2],
+        scene.tri_c[:, 0],
+        scene.tri_q[:, 1, 0], scene.tri_q[:, 1, 1], scene.tri_q[:, 1, 2],
+        scene.tri_c[:, 1],
+        scene.tri_q[:, 2, 0], scene.tri_q[:, 2, 1], scene.tri_q[:, 2, 2],
+        scene.tri_c[:, 2],
+    ]
+    pack = jnp.stack(rows, axis=0)                     # [16, T]
+    if pad:
+        # pad triangles have n = 0 -> plane_ok false -> never hit
+        pack = jnp.pad(pack, ((0, 0), (0, pad)))
+    pack = pack.reshape(16, nc, ck).transpose(1, 0, 2)  # [NC, 16, CK]
+    return jax.lax.stop_gradient(pack), nc
+
+
+def _pack_spheres(scene):
+    """[Spad, 8] columns: center base(3), center delta(3), radius, valid."""
+    S = scene.sph_c0.shape[0]
+    c0 = scene.sph_c0
+    c1 = scene.sph_c1
+    t0 = scene.sph_t0
+    t1 = scene.sph_t1
+    moving = jnp.any(c0 != c1, axis=-1)
+    denom = jnp.where(t1 == t0, 1.0, t1 - t0)
+    delta = jnp.where(moving[:, None], (c1 - c0) / denom[:, None], 0.0)
+    base = c0 - delta * t0[:, None]
+    cols = jnp.stack(
+        [
+            base[:, 0], base[:, 1], base[:, 2],
+            delta[:, 0], delta[:, 1], delta[:, 2],
+            scene.sph_radius,
+            jnp.ones((S,), jnp.float32),
+        ],
+        axis=1,
+    )                                                   # [S, 8]
+    spad = max(8, -(-S // 8) * 8)
+    if spad != S:
+        cols = jnp.pad(cols, ((0, spad - S), (0, 0)))
+    return jax.lax.stop_gradient(cols)
+
+
+def cluster_lists(org, dir, t_min, cmin, cmax, ray_block=RAY_BLOCK):
+    """Compacted per-block active-cluster lists [NB, NC+1] int32.
+
+    Row b = [count, active cluster ids ascending, junk...]. A cluster is
+    active if any ray in block b enters its AABB at t in [t_min, inf)
+    (slab test, aabb.h:11-27 semantics made zero-direction-safe —
+    conservative, never a false miss). Rays with t_min >= 3e38 (dead
+    lanes) activate nothing.
+    """
+    R = org.shape[0]
+    NC = cmin.shape[0]
+    nb = -(-R // ray_block)
+
+    d = dir[:, None, :]                                  # [R,1,3]
+    o = org[:, None, :]
+    zero = d == 0.0
+    inv = 1.0 / jnp.where(zero, 1.0, d)
+    near = (cmin[None, :, :] - o) * inv                  # [R,NC,3]
+    far = (cmax[None, :, :] - o) * inv
+    inside = (o >= cmin[None, :, :]) & (o <= cmax[None, :, :])
+    lo = jnp.where(zero, jnp.where(inside, -_BIG, _BIG), jnp.minimum(near, far))
+    hi = jnp.where(zero, jnp.where(inside, _BIG, -_BIG), jnp.maximum(near, far))
+    t_near = jnp.maximum(jnp.max(lo, axis=-1), t_min[:, None])
+    t_far = jnp.min(hi, axis=-1)
+    hit = t_far > t_near                                 # [R, NC]
+
+    pad_r = nb * ray_block - R
+    if pad_r:
+        hit = jnp.pad(hit, ((0, pad_r), (0, 0)))
+    hit = hit.reshape(nb, ray_block, NC).any(axis=1)     # [NB, NC]
+    count = jnp.sum(hit, axis=1, dtype=jnp.int32)
+    # stable argsort of ~hit puts active ids first, ascending
+    ids = jnp.argsort(~hit, axis=1, stable=True).astype(jnp.int32)
+    return jnp.concatenate([count[:, None], ids], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# entry point
+# ---------------------------------------------------------------------------
+
+def find_hit_clustered(scene, org, dir, time, t_min=None, cull=True):
+    """Closest hit for a ray wavefront. Returns (prim [R] int32, t [R]).
+
+    ``prim``: global primitive id (triangles then spheres), -1 = miss.
+    ``t_min`` may be a scalar or per-ray [R]; rays with ``t_min >= 3e38``
+    are dead (miss everything, excluded from cull lists, so fully-dead
+    blocks skip all triangle work).
+    """
+    from sexy_raytracer_tpu.ops.intersect import T_MIN_DEFAULT
+
+    R = org.shape[0]
+    if t_min is None:
+        t_min = jnp.full((R,), T_MIN_DEFAULT, jnp.float32)
+    elif jnp.ndim(t_min) == 0:
+        t_min = jnp.full((R,), t_min, jnp.float32)
+
+    org = jax.lax.stop_gradient(org)
+    dir = jax.lax.stop_gradient(dir)
+    time = jax.lax.stop_gradient(time)
+    t_min = jax.lax.stop_gradient(t_min)
+
+    T = scene.tri_v0.shape[0]
+    S = scene.sph_c0.shape[0]
+    nb = -(-R // RAY_BLOCK)
+    Rpad = nb * RAY_BLOCK
+
+    rays = jnp.concatenate(
+        [org, dir, time[:, None], t_min[:, None]], axis=1
+    ).astype(jnp.float32)
+    if Rpad != R:
+        pad = jnp.zeros((Rpad - R, 8), jnp.float32).at[:, 7].set(_BIG)
+        rays = jnp.concatenate([rays, pad], axis=0)
+    rays_t = rays.T  # [8, Rpad]
+
+    if T > 0:
+        tri_pack, nc = _pack_triangles(scene)
+        if cull and scene.cluster_min.shape[0] == nc:
+            lists = cluster_lists(
+                org, dir, t_min,
+                jax.lax.stop_gradient(scene.cluster_min),
+                jax.lax.stop_gradient(scene.cluster_max),
+            )
+        else:
+            ids = jnp.broadcast_to(jnp.arange(nc, dtype=jnp.int32), (nb, nc))
+            lists = jnp.concatenate(
+                [jnp.full((nb, 1), nc, jnp.int32), ids], axis=1
+            )
+    else:
+        tri_pack = jnp.zeros((1, 16, CLUSTER_SIZE), jnp.float32)
+        nc = 0
+        lists = jnp.zeros((nb, 2), jnp.int32)
+
+    sph_pack = (
+        _pack_spheres(scene) if S > 0 else jnp.zeros((8, 8), jnp.float32)
+    )
+    spad = sph_pack.shape[0]
+
+    kernel = functools.partial(_find_kernel, T, S)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((RAY_BLOCK, 8), lambda b, s: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, RAY_BLOCK), lambda b, s: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(nc, 1), 16, CLUSTER_SIZE),
+                         lambda b, s: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((spad, 8), lambda b, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((RAY_BLOCK, 1), lambda b, s: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, 1), lambda b, s: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    out_t, out_i = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((Rpad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Rpad, 1), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(lists, rays, rays_t, tri_pack, sph_pack)
+
+    t = out_t.reshape(Rpad)[:R]
+    prim = out_i.reshape(Rpad)[:R]
+    t = jnp.where(prim >= 0, t, jnp.inf)
+    return prim, t
