@@ -42,7 +42,11 @@ def main():
     except AttributeError:
         pass
 
-    from sexy_raytracer_tpu.diff.inverse import TrainState, make_train_step
+    from sexy_raytracer_tpu.diff.inverse import (
+        TrainState,
+        make_train_step,
+        sample_tile_ids,
+    )
     from sexy_raytracer_tpu.diff.params import extract_params
     from sexy_raytracer_tpu.models import presets
     from sexy_raytracer_tpu.parallel.mesh import make_mesh, replicate_scene, shard_rays
@@ -62,13 +66,19 @@ def main():
     step = make_train_step(mesh, cfg, optimizer, spb=spb, method="auto")
 
     scene_r = replicate_scene(scene, mesh)
-    # center-weighted pixels (all rows hit geometry or sky mix)
+    # random screen tiles — the realistic inverse-rendering batch shape
+    # (spatially coherent blocks; see diff/inverse.py sample_tile_ids)
     rng = np.random.default_rng(0)
-    ids = rng.integers(0, cfg.width * cfg.height, size=pixels).astype(np.int32)
+    ids = sample_tile_ids(rng, cfg.width, cfg.height, pixels)
     pix = shard_rays(jnp.asarray(ids), mesh)
     tgt = shard_rays(jnp.full((pixels, 3), 0.5, jnp.float32), mesh)
 
-    # warmup / compile
+    # warmup / compile. Two steps: the first sees host-backed state and
+    # compiles once; its output state is device-resident/sharded, which is
+    # a different input signature -> second compile. Timing must start
+    # only once the steady-state signature is compiled.
+    state, loss = step(state, scene_r, camera, pix, tgt, jax.random.key(0))
+    _ = float(loss)
     state, loss = step(state, scene_r, camera, pix, tgt, jax.random.key(0))
     _ = float(loss)
 

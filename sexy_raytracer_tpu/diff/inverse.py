@@ -78,6 +78,28 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def sample_tile_ids(rng_np, width, height, n_pixels, tile_w=16, tile_h=8):
+    """Random screen tiles -> [n_pixels] int32 pixel ids.
+
+    Uniform over pixels (every pixel lies in exactly one tile of the
+    fixed grid) but spatially coherent within each 128-pixel tile, so the
+    clustered find kernel's ray blocks cull well (ops/pallas_find.py).
+    """
+    tp = tile_w * tile_h
+    n_tiles = max(1, n_pixels // tp)
+    tx = rng_np.integers(0, max(1, width // tile_w), size=n_tiles)
+    ty = rng_np.integers(0, max(1, height // tile_h), size=n_tiles)
+    yy = np.arange(tile_h)[:, None]
+    xx = np.arange(tile_w)[None, :]
+    ids = (
+        (ty[:, None, None] * tile_h + yy[None]) * width
+        + tx[:, None, None] * tile_w + xx[None]
+    ).reshape(-1)
+    if ids.size < n_pixels:  # pad by repeating (n_pixels not tile-divisible)
+        ids = np.concatenate([ids, ids[: n_pixels - ids.size]])
+    return ids[:n_pixels].astype(np.int32)
+
+
 def make_train_step(
     mesh,
     config: RenderConfig,
@@ -193,7 +215,7 @@ def inverse_render(
     rng_np = np.random.default_rng(seed)
     losses = []
     for i in range(n_steps):
-        ids = rng_np.integers(0, W * H, size=pixels_per_step).astype(np.int32)
+        ids = sample_tile_ids(rng_np, W, H, pixels_per_step)
         ids_dev = jnp.asarray(ids)
         tgt = target_flat[ids_dev]
         key, sub = jax.random.split(key)

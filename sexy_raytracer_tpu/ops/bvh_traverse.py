@@ -33,7 +33,7 @@ MAX_STACK = 64  # binary median-split tree of 2^63 prims; ample
 _BIG = 3.0e38
 
 
-def _make_traverse(scene, t_min_const):
+def _make_traverse(scene):
     """Build the single-ray traversal closure over scene arrays."""
     bvh_min = scene.bvh_min
     bvh_max = scene.bvh_max
@@ -53,7 +53,7 @@ def _make_traverse(scene, t_min_const):
     sph_r = scene.sph_radius
     S = sph_c0.shape[0]
 
-    def tri_hit(i, org, dir):
+    def tri_hit(i, org, dir, t_min):
         n = tri_n[i]
         ndir = jnp.dot(n, dir)
         plane_ok = ndir <= -EPSILON
@@ -61,10 +61,10 @@ def _make_traverse(scene, t_min_const):
         q = tri_q[i]  # [3,3]
         c = tri_c[i]  # [3]
         w = q @ org + t * (q @ dir) - c
-        ok = plane_ok & jnp.all(w >= 0.0) & (t >= t_min_const)
+        ok = plane_ok & jnp.all(w >= 0.0) & (t >= t_min)
         return jnp.where(ok, t, _BIG)
 
-    def sph_hit(s, org, dir, time, t_max):
+    def sph_hit(s, org, dir, time, t_max, t_min):
         c0 = sph_c0[s]
         c1 = sph_c1[s]
         moving = jnp.any(c0 != c1)
@@ -81,22 +81,22 @@ def _make_traverse(scene, t_min_const):
         safe_a = jnp.where(a == 0.0, 1.0, a)
         r0 = (-half_b - sqrtd) / safe_a
         r1 = (-half_b + sqrtd) / safe_a
-        ok0 = has & (r0 >= t_min_const) & (r0 <= t_max)
-        ok1 = has & (r1 >= t_min_const) & (r1 <= t_max)
+        ok0 = has & (r0 >= t_min) & (r0 <= t_max)
+        ok1 = has & (r1 >= t_min) & (r1 <= t_max)
         root = jnp.where(ok0, r0, r1)
         return jnp.where(ok0 | ok1, root, _BIG)
 
-    def aabb_hit(node, org, inv_dir, t_max):
+    def aabb_hit(node, org, inv_dir, t_max, t_min):
         # slab test, aabb.h:13-24 (IEEE inf semantics on zero components)
         t0 = (bvh_min[node] - org) * inv_dir
         t1 = (bvh_max[node] - org) * inv_dir
         tmin = jnp.max(jnp.minimum(t0, t1))
         tmax = jnp.min(jnp.maximum(t0, t1))
-        lo = jnp.maximum(tmin, t_min_const)
+        lo = jnp.maximum(tmin, t_min)
         hi = jnp.minimum(tmax, t_max)
         return hi > lo
 
-    def traverse(org, dir, time):
+    def traverse(org, dir, time, t_min):
         inv_dir = 1.0 / dir  # inf on zero components, like the reference
         stack = jnp.zeros((MAX_STACK,), jnp.int32)
         state = (stack, jnp.int32(1), jnp.float32(_BIG), jnp.int32(-1))
@@ -109,7 +109,7 @@ def _make_traverse(scene, t_min_const):
             stack, sp, best_t, best_i = state
             node = stack[sp - 1]
             sp = sp - 1
-            box_ok = aabb_hit(node, org, inv_dir, best_t)
+            box_ok = aabb_hit(node, org, inv_dir, best_t, t_min)
             left = bvh_left[node]
             right = bvh_right[node]
             is_leaf = left == -1
@@ -120,13 +120,13 @@ def _make_traverse(scene, t_min_const):
                 is_tri = prim < T
                 t_prim = jnp.where(
                     is_tri,
-                    tri_hit(jnp.minimum(prim, T - 1), org, dir),
-                    sph_hit(jnp.maximum(prim - T, 0), org, dir, time, best_t),
+                    tri_hit(jnp.minimum(prim, T - 1), org, dir, t_min),
+                    sph_hit(jnp.maximum(prim - T, 0), org, dir, time, best_t, t_min),
                 )
             elif T > 0:
-                t_prim = tri_hit(prim, org, dir)
+                t_prim = tri_hit(prim, org, dir, t_min)
             else:
-                t_prim = sph_hit(prim - T, org, dir, time, best_t)
+                t_prim = sph_hit(prim - T, org, dir, time, best_t, t_min)
             take = is_leaf & box_ok & (t_prim < best_t)
             best_t = jnp.where(take, t_prim, best_t)
             best_i = jnp.where(take, prim, best_i)
@@ -154,18 +154,18 @@ def find_hit_bvh(scene, org, dir, time, t_min=None):
 
     if scene.bvh_min.shape[0] == 0:
         raise ValueError("scene has no BVH; build with build_bvh=True")
+    R = org.shape[0]
     if t_min is None:
-        t_min_const = T_MIN_DEFAULT
+        t_min = jnp.full((R,), T_MIN_DEFAULT, jnp.float32)
     elif jnp.ndim(t_min) == 0:
-        t_min_const = float(t_min)
-    else:
-        raise NotImplementedError("per-ray t_min unsupported for BVH path")
+        t_min = jnp.full((R,), t_min, jnp.float32)
 
-    traverse = _make_traverse(scene, t_min_const)
+    traverse = _make_traverse(scene)
     t, prim = jax.vmap(traverse)(
         jax.lax.stop_gradient(org),
         jax.lax.stop_gradient(dir),
         jax.lax.stop_gradient(time),
+        jax.lax.stop_gradient(t_min),
     )
     prim = jnp.where(jnp.isfinite(t), prim, -1)
     return jax.lax.stop_gradient(prim), jax.lax.stop_gradient(t)

@@ -1,22 +1,18 @@
 """Row gathers with TPU-friendly backward passes.
 
-``jnp.take``'s VJP is a scatter-add, which TPUs execute serially per index —
-for 131k rays x ~20 gathers x 4 bounces that dominates the whole backward
-pass, and it degrades catastrophically when many rays land on the same row
-(real renders concentrate texel hits; measured ~2.2 s per step on the
-flagship scene vs ~70 ms on uniform-random indices).
+``jnp.take``'s VJP is a scatter-add, which TPUs execute row-serially
+(~11 ms for 131k rows into a 786k-row table, measured device-side) and
+degrades further when many rays land on the same row (real renders
+concentrate texel hits).
 
-Two MXU rewrites are provided:
-
-* ``table_lookup`` — small tables: backward is a chunked one-hot matmul
-  (dTable = sum_chunks onehot^T @ g). Used for triangle/sphere record packs
-  and material rows.
-* ``atlas_lookup`` — large [rows, W, C] atlases (texture packs): one-hot
-  over ``rows*W`` is not materializable, so the backward factorizes the
-  texel index into (row, column) and contracts both one-hots in a single
-  matmul per chunk: tmp[r, cW*C+c] = onehot_col ⊗ g, then
-  dAtlas += onehot_row^T @ tmp. Duplicate-index-insensitive, runs at MXU
-  speed (~53 ms for 524k updates into a 4M-texel atlas on one chip).
+* ``table_lookup`` — small tables (<= ONEHOT_MAX_ROWS): backward is a
+  chunked one-hot matmul (dTable = sum_chunks onehot^T @ g). Used for
+  material rows and other tiny packs. Larger tables route to the
+  histogram below.
+* ``atlas_lookup`` — large [rows, W, C] atlases (texture packs): backward
+  is the sort-based scatter-free dense histogram of ops/histogram.py
+  (sort + cumsum segment-sum + Pallas windowed one-hot placement), ~3 ms
+  per 131k updates vs ~12 ms for the round-1 factorized one-hot matmul.
 """
 
 from __future__ import annotations
@@ -26,8 +22,9 @@ import functools
 import jax
 import jax.numpy as jnp
 
-# tables with at most this many rows get the one-hot matmul backward
-ONEHOT_MAX_ROWS = 16384
+# tables with at most this many rows get the one-hot matmul backward;
+# larger ones use the sort-based dense histogram (ops/histogram.py)
+ONEHOT_MAX_ROWS = 1024
 # rays per backward chunk: onehot block is [CHUNK, rows] f32
 ONEHOT_CHUNK = 8192
 
@@ -53,8 +50,11 @@ def _bwd(n_rows, idx, g):
     shape = (n_rows,) + g.shape[1:]
 
     if n_rows > ONEHOT_MAX_ROWS:
-        dtable = jnp.zeros(shape, jnp.float32).at[idx].add(g)
-        return dtable.astype(dtype), None
+        # big tables: sort-based scatter-free histogram (ops/histogram.py)
+        from sexy_raytracer_tpu.ops.histogram import dense_histogram
+
+        dtable = dense_histogram(idx, g.reshape(R, -1), n_rows)
+        return dtable.reshape(shape).astype(dtype), None
 
     chunk = min(ONEHOT_CHUNK, R)
     pad = (-R) % chunk
@@ -85,26 +85,19 @@ _lookup.defvjp(_fwd, _bwd)
 
 
 # ---------------------------------------------------------------------------
-# Large-atlas gather with factorized one-hot-matmul backward
+# Large-atlas gather with sort-based histogram backward
 # ---------------------------------------------------------------------------
-
-# rays per backward chunk: the [chunk, W*C] expanded-gradient block must fit
-# comfortably in on-chip memory (4096 x 4096 f32 = 64 MiB streamed by XLA in
-# tiles; the two one-hot blocks are 4096 x {W, rows})
-ATLAS_CHUNK = 4096
 
 
 def atlas_lookup(atlas, flat_idx):
-    """``atlas.reshape(rows*W, C)[flat_idx]`` with an MXU backward.
+    """``atlas.reshape(rows*W, C)[flat_idx]`` with a scatter-free backward.
 
     ``atlas``: [rows, W, C] float32 (rows = layers*height collapsed by the
     caller), ``flat_idx``: [R] int32 in [0, rows*W). Returns [R, C].
 
-    The backward never scatters: dAtlas[row, col, c] =
-    sum_r onehot_row[r,row] * onehot_col[r,col] * g[r,c], evaluated as one
-    dot_general per ray chunk. Exact up to matmul accumulation order (and
-    the MXU's internal bf16 passes at default precision — well below MC
-    gradient noise; CPU tests see true f32).
+    The backward never scatters: it is the sorted segment-sum dense
+    histogram of ops/histogram.py. Exact to f32 cumsum accumulation —
+    well below MC gradient noise.
     """
     rows, w, c = atlas.shape
     return _atlas_lookup(rows, w, c, atlas, flat_idx)
@@ -120,48 +113,10 @@ def _atlas_fwd(rows, w, c, atlas, flat_idx):
 
 
 def _atlas_bwd(rows, w, c, flat_idx, g):
-    R = flat_idx.shape[0]
-    out_dtype = g.dtype
-    g = g.astype(jnp.float32)
-    row = flat_idx // w
-    col = flat_idx - row * w
+    from sexy_raytracer_tpu.ops.histogram import dense_histogram
 
-    chunk = min(ATLAS_CHUNK, R)
-    pad = (-R) % chunk
-    if pad:
-        # pad rides row index `rows` -> dropped by a final slice
-        row = jnp.concatenate([row, jnp.zeros((pad,), row.dtype)])
-        col = jnp.concatenate([col, jnp.zeros((pad,), col.dtype)])
-        g = jnp.concatenate([g, jnp.zeros((pad, c), g.dtype)])
-    n_chunks = row.shape[0] // chunk
-
-    def body(acc, xs):
-        r_, c_, g_ = xs
-        oh_col = jax.nn.one_hot(c_, w, dtype=jnp.float32)        # [CH, W]
-        tmp = (oh_col[:, :, None] * g_[:, None, :]).reshape(chunk, w * c)
-        oh_row = jax.nn.one_hot(r_, rows, dtype=jnp.float32)     # [CH, rows]
-        acc = acc + jax.lax.dot_general(
-            oh_row,
-            tmp,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return acc, None
-
-    init = jnp.zeros((rows, w * c), jnp.float32)
-    dflat, _ = jax.lax.scan(
-        body,
-        init,
-        (
-            row.reshape(n_chunks, chunk),
-            col.reshape(n_chunks, chunk),
-            g.reshape(n_chunks, chunk, c),
-        ),
-    )
-    if pad:
-        # padded lanes carried real (0,0) indices but zero gradients: no-op
-        pass
-    return dflat.reshape(rows, w, c).astype(out_dtype), None
+    dflat = dense_histogram(flat_idx, g.astype(jnp.float32), rows * w)
+    return dflat.reshape(rows, w, c).astype(g.dtype), None
 
 
 _atlas_lookup.defvjp(_atlas_fwd, _atlas_bwd)

@@ -235,14 +235,19 @@ def _pack_spheres(scene):
     return jax.lax.stop_gradient(cols)
 
 
-def cluster_lists(org, dir, t_min, cmin, cmax, ray_block=RAY_BLOCK):
+def cluster_lists(org, dir, t_min, cmin, cmax, t_max=None,
+                  ray_block=RAY_BLOCK):
     """Compacted per-block active-cluster lists [NB, NC+1] int32.
 
-    Row b = [count, active cluster ids ascending, junk...]. A cluster is
-    active if any ray in block b enters its AABB at t in [t_min, inf)
-    (slab test, aabb.h:11-27 semantics made zero-direction-safe —
-    conservative, never a false miss). Rays with t_min >= 3e38 (dead
-    lanes) activate nothing.
+    Row b = [count, active cluster ids front-to-back, junk...]. A cluster
+    is active if any ray in block b enters its AABB at t in
+    [t_min, t_max) (slab test, aabb.h:11-27 semantics made
+    zero-direction-safe — conservative, never a false miss). ``t_max`` is
+    an optional per-ray upper bound on the closest hit (e.g. the ray's
+    sphere hit): clusters entirely beyond a ray's bound can't improve its
+    answer. Rays with t_min >= 3e38 (dead lanes) activate nothing.
+    Active ids are ordered by the block-min entry distance so the kernel
+    shrinks best_t as early as possible.
     """
     R = org.shape[0]
     NC = cmin.shape[0]
@@ -260,15 +265,20 @@ def cluster_lists(org, dir, t_min, cmin, cmax, ray_block=RAY_BLOCK):
     t_near = jnp.maximum(jnp.max(lo, axis=-1), t_min[:, None])
     t_far = jnp.min(hi, axis=-1)
     hit = t_far > t_near                                 # [R, NC]
+    if t_max is not None:
+        hit &= t_near < t_max[:, None]
 
+    entry = jnp.where(hit, t_near, _BIG)
     pad_r = nb * ray_block - R
     if pad_r:
         hit = jnp.pad(hit, ((0, pad_r), (0, 0)))
+        entry = jnp.pad(entry, ((0, pad_r), (0, 0)), constant_values=_BIG)
     hit = hit.reshape(nb, ray_block, NC).any(axis=1)     # [NB, NC]
+    entry = entry.reshape(nb, ray_block, NC).min(axis=1)
     count = jnp.sum(hit, axis=1, dtype=jnp.int32)
-    # stable argsort of ~hit puts active ids first, ascending
-    ids = jnp.argsort(~hit, axis=1, stable=True).astype(jnp.int32)
-    return jnp.concatenate([count[:, None], ids], axis=1)
+    # actives first, front-to-back by block-min entry distance
+    order = jnp.argsort(jnp.where(hit, entry, _BIG), axis=1)
+    return jnp.concatenate([count[:, None], order.astype(jnp.int32)], axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -312,10 +322,19 @@ def find_hit_clustered(scene, org, dir, time, t_min=None, cull=True):
     if T > 0:
         tri_pack, nc = _pack_triangles(scene)
         if cull and scene.cluster_min.shape[0] == nc:
+            # per-ray upper bound from the sphere hits (cheap: S is tiny);
+            # clusters wholly beyond a ray's sphere hit can't matter
+            if S > 0:
+                from sexy_raytracer_tpu.ops.intersect import _sph_candidates
+
+                sph_bound, _ = _sph_candidates(scene, org, dir, time, t_min)
+            else:
+                sph_bound = None
             lists = cluster_lists(
                 org, dir, t_min,
                 jax.lax.stop_gradient(scene.cluster_min),
                 jax.lax.stop_gradient(scene.cluster_max),
+                t_max=sph_bound,
             )
         else:
             ids = jnp.broadcast_to(jnp.arange(nc, dtype=jnp.int32), (nb, nc))

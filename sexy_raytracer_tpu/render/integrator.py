@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from sexy_raytracer_tpu.ops.intersect import find_hit, hit_data
+from sexy_raytracer_tpu.ops.intersect import T_MIN_DEFAULT, find_hit, hit_data
 from sexy_raytracer_tpu.ops.shade import shade
 from sexy_raytracer_tpu.utils import rng
 
@@ -43,7 +43,11 @@ def trace_rays(
     def bounce(carry, bounce_idx):
         org, dir, thr, rad, alive = carry
 
-        prim, _t = find_hit(scene, org, dir, time, method=method)
+        # dead lanes get t_min = +huge: they miss everything and the
+        # clustered kernel excludes them from its block cull lists, so
+        # fully-dead ray blocks skip all triangle work (ops/pallas_find.py)
+        t_min = jnp.where(alive, T_MIN_DEFAULT, 3.0e38)
+        prim, _t = find_hit(scene, org, dir, time, t_min=t_min, method=method)
         rec = hit_data(scene, org, dir, time, prim)
 
         bkeys = jax.vmap(lambda k: jax.random.fold_in(k, 100 + bounce_idx))(keys)

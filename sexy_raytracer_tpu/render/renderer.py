@@ -71,6 +71,24 @@ render_chunk = functools.partial(
 )(render_pixels)
 
 
+def tile_pixel_order(width: int, height: int, tile_w: int = 32,
+                     tile_h: int = 16) -> np.ndarray:
+    """All pixel ids in tile-major order -> [W*H] int32.
+
+    Consecutive pixels form 2D screen tiles, so the fixed-size ray blocks
+    of the clustered find kernel (ops/pallas_find.py) see spatially
+    coherent rays and cull well. Row-major order would hand each block a
+    512-pixel scanline strip instead (measured 2.2x slower hit finding).
+    """
+    ids = []
+    for y0 in range(0, height, tile_h):
+        for x0 in range(0, width, tile_w):
+            yy = np.arange(y0, min(y0 + tile_h, height))
+            xx = np.arange(x0, min(x0 + tile_w, width))
+            ids.append((yy[:, None] * width + xx[None, :]).ravel())
+    return np.concatenate(ids).astype(np.int32)
+
+
 def render(
     scene,
     config: RenderConfig,
@@ -128,9 +146,10 @@ def render_accumulate(
             if progress:
                 print(f"resuming from {checkpoint} (unit {units_done})")
 
+    order = tile_pixel_order(W, H)
     unit = 0
     for start in range(0, P, chunk):
-        ids = np.arange(start, min(start + chunk, P), dtype=np.int32)
+        ids = order[start : min(start + chunk, P)]
         n_valid = ids.shape[0]
         if n_valid < chunk:
             ids = np.pad(ids, (0, chunk - n_valid))
@@ -143,10 +162,7 @@ def render_accumulate(
                 continue
             if ids_dev is None:
                 ids_dev = jnp.asarray(ids)
-                chunk_accum = jnp.asarray(accum[start : start + chunk]
-                                          if n_valid == chunk
-                                          else np.pad(accum[start:start + n_valid],
-                                                      ((0, chunk - n_valid), (0, 0))))
+                chunk_accum = jnp.asarray(accum[ids])
             n_s = min(spb, spp - s0)  # final batch may be partial
             out = render_chunk(
                 scene,
@@ -166,7 +182,7 @@ def render_accumulate(
             unit += 1
             dirty = True
         if dirty:
-            accum[start : start + n_valid] = np.asarray(chunk_accum)[:n_valid]
+            accum[ids[:n_valid]] = np.asarray(chunk_accum)[:n_valid]
             units_done = unit
             if checkpoint is not None:
                 np.savez(
