@@ -92,13 +92,24 @@ class SceneData(NamedTuple):
     mat_pack_layer: jnp.ndarray  # [M] int32 layer or -1
     mat_pack_w: jnp.ndarray      # [M] int32
     mat_pack_h: jnp.ndarray      # [M] int32
+    # Per-slot texture kinds: 0 = none (use the scalar factor), 2 =
+    # procedural checker evaluated inline from the hit point (a solid
+    # texture in a slot is a checker with equal colors), 3 = image baked
+    # into the shading pack. Albedo additionally has 1 = solid (the
+    # reference's solid-PBR ctor semantics, material.h:165-167).
     mat_albedo_kind: jnp.ndarray  # [M] int32: 0 none, 1 solid, 2 checker, 3 image
-    mat_has_normal: jnp.ndarray   # [M] int32 0/1 (normal map baked in pack)
-    mat_has_metal: jnp.ndarray    # [M] int32 0/1
-    mat_has_rough: jnp.ndarray    # [M] int32 0/1
+    mat_normal_kind: jnp.ndarray  # [M] int32: 0/2/3
+    mat_metal_kind: jnp.ndarray   # [M] int32: 0/2/3
+    mat_rough_kind: jnp.ndarray   # [M] int32: 0/2/3
+    mat_emit_kind: jnp.ndarray    # [M] int32: 1 solid (default black), 2, 3
     mat_albedo_c0: jnp.ndarray    # [M,3] solid color / checker even
     mat_albedo_c1: jnp.ndarray    # [M,3] checker odd
-    mat_emit_rgb: jnp.ndarray     # [M,3] baked solid emission (diffuseLight)
+    mat_emit_rgb: jnp.ndarray     # [M,3] solid emission / checker even
+    mat_emit_c1: jnp.ndarray      # [M,3] emission checker odd
+    mat_metal_cc: jnp.ndarray     # [M,2] checker even/odd *red* channel
+    mat_rough_cc: jnp.ndarray     # [M,2] checker even/odd *green* channel
+    mat_normal_c0: jnp.ndarray    # [M,3] normal-slot checker even
+    mat_normal_c1: jnp.ndarray    # [M,3] normal-slot checker odd
 
     # -- texture table [K] ----------------------------------------------
     tex_type: jnp.ndarray    # [K] int32, TEX_*
@@ -492,12 +503,18 @@ class SceneBuilder:
         mat_pack_w = np.ones((M,), i32)
         mat_pack_h = np.ones((M,), i32)
         mat_albedo_kind = np.zeros((M,), i32)
-        mat_has_normal = np.zeros((M,), i32)
-        mat_has_metal = np.zeros((M,), i32)
-        mat_has_rough = np.zeros((M,), i32)
+        mat_normal_kind = np.zeros((M,), i32)
+        mat_metal_kind = np.zeros((M,), i32)
+        mat_rough_kind = np.zeros((M,), i32)
+        mat_emit_kind = np.ones((M,), i32)  # solid black by default
         mat_albedo_c0 = np.zeros((M, 3), f32)
         mat_albedo_c1 = np.zeros((M, 3), f32)
         mat_emit_rgb = np.zeros((M, 3), f32)
+        mat_emit_c1 = np.zeros((M, 3), f32)
+        mat_metal_cc = np.zeros((M, 2), f32)
+        mat_rough_cc = np.zeros((M, 2), f32)
+        mat_normal_c0 = np.zeros((M, 3), f32)
+        mat_normal_c1 = np.zeros((M, 3), f32)
         pack_layers = []
 
         def _resample(img, H, W):
@@ -511,12 +528,32 @@ class SceneBuilder:
             if et >= 0:
                 t = texs[et]
                 if t["type"] == TEX_SOLID:
+                    mat_emit_kind[mi] = 1
                     mat_emit_rgb[mi] = t["color0"]
+                elif t["type"] == TEX_CHECKER:
+                    # emitted = checker value = color * 255 (texture.h:45-47
+                    # via material.h:148-151, raw — no /255 in diffuseLight);
+                    # stored pre-scaled so shade just selects
+                    mat_emit_kind[mi] = 2
+                    mat_emit_rgb[mi] = np.asarray(t["color0"], f32) * 255.0
+                    mat_emit_c1[mi] = np.asarray(t["color1"], f32) * 255.0
                 else:
-                    raise NotImplementedError(
-                        "non-solid emission textures are not supported by "
-                        "the baked shading path"
+                    # image emission: bake the texel into this material's
+                    # own pack layer channels 0:3. Light materials never
+                    # use the PBR slots, so the layer is otherwise free.
+                    assert m["type"] != MAT_PBR, (
+                        "image emission on a PBR material would collide "
+                        "with its map pack"
                     )
+                    mat_emit_kind[mi] = 3
+                    img = self._images[t["image"]]
+                    H, W = img.shape[:2]
+                    pack = np.zeros((H, W, 8), f32)
+                    pack[..., 0:3] = img
+                    mat_pack_layer[mi] = len(pack_layers)
+                    mat_pack_h[mi] = H
+                    mat_pack_w[mi] = W
+                    pack_layers.append(pack)
             if m["type"] != MAT_PBR:
                 continue
             a = texs[m["albedo_tex"]] if m["albedo_tex"] >= 0 else None
@@ -532,6 +569,10 @@ class SceneBuilder:
             else:
                 mat_albedo_kind[mi] = 3
 
+            # procedural (checker/solid) textures in non-albedo slots are
+            # evaluated inline by the shader from the hit point (they are
+            # functions of p, not uv — unbakeable); a solid texture in a
+            # slot is a checker with equal colors. Image slots co-bake.
             slot_texs = {}
             for slot, ti in (
                 ("albedo", m["albedo_tex"] if mat_albedo_kind[mi] == 3 else -1),
@@ -539,16 +580,40 @@ class SceneBuilder:
                 ("metal", m["metallic_tex"]),
                 ("rough", m["roughness_tex"]),
             ):
-                if ti >= 0:
-                    slot_texs[slot] = texs[ti]
+                if ti < 0:
+                    continue
+                t = texs[ti]
+                if slot != "albedo" and t["type"] != TEX_IMAGE:
+                    # store the *texture value* the reference would return:
+                    # solidColor -> raw color (texture.h:26-28), checker ->
+                    # color * 255 (texture.h:45-47). Consumers then apply
+                    # their own scaling exactly like material.h does.
+                    scale = 255.0 if t["type"] == TEX_CHECKER else 1.0
+                    v0 = np.asarray(t["color0"], f32) * scale
+                    v1 = (
+                        np.asarray(t["color1"], f32) * 255.0
+                        if t["type"] == TEX_CHECKER
+                        else v0
+                    )
+                    if slot == "normal":
+                        # shade applies normalIntToFloat((v-128)/128)
+                        mat_normal_kind[mi] = 2
+                        mat_normal_c0[mi] = v0
+                        mat_normal_c1[mi] = v1
+                    elif slot == "metal":
+                        # effective metallic = red channel / 255
+                        # (material.h:191)
+                        mat_metal_kind[mi] = 2
+                        mat_metal_cc[mi] = (v0[0] / 255.0, v1[0] / 255.0)
+                    else:
+                        # effective roughness = green channel / 255
+                        # (material.h:197)
+                        mat_rough_kind[mi] = 2
+                        mat_rough_cc[mi] = (v0[1] / 255.0, v1[1] / 255.0)
+                    continue
+                slot_texs[slot] = t
             if not slot_texs:
                 continue
-            for slot, t in slot_texs.items():
-                if slot != "albedo" and t["type"] == TEX_CHECKER:
-                    raise NotImplementedError(
-                        f"checker textures in the {slot} slot are not "
-                        "supported by the baked shading path"
-                    )
             dims = [
                 self._images[t["image"]].shape[:2]
                 for t in slot_texs.values()
@@ -569,13 +634,13 @@ class SceneBuilder:
                 pack[..., 0:3] = _baked(slot_texs["albedo"])
             if "normal" in slot_texs:
                 pack[..., 3:6] = _baked(slot_texs["normal"])
-                mat_has_normal[mi] = 1
+                mat_normal_kind[mi] = 3
             if "metal" in slot_texs:
                 pack[..., 6] = _baked(slot_texs["metal"])[..., 0]
-                mat_has_metal[mi] = 1
+                mat_metal_kind[mi] = 3
             if "rough" in slot_texs:
                 pack[..., 7] = _baked(slot_texs["rough"])[..., 1]
-                mat_has_rough[mi] = 1
+                mat_rough_kind[mi] = 3
             mat_pack_layer[mi] = len(pack_layers)
             mat_pack_h[mi] = H
             mat_pack_w[mi] = W
@@ -623,12 +688,18 @@ class SceneBuilder:
             mat_pack_w=mat_pack_w,
             mat_pack_h=mat_pack_h,
             mat_albedo_kind=mat_albedo_kind,
-            mat_has_normal=mat_has_normal,
-            mat_has_metal=mat_has_metal,
-            mat_has_rough=mat_has_rough,
+            mat_normal_kind=mat_normal_kind,
+            mat_metal_kind=mat_metal_kind,
+            mat_rough_kind=mat_rough_kind,
+            mat_emit_kind=mat_emit_kind,
             mat_albedo_c0=mat_albedo_c0,
             mat_albedo_c1=mat_albedo_c1,
             mat_emit_rgb=mat_emit_rgb,
+            mat_emit_c1=mat_emit_c1,
+            mat_metal_cc=mat_metal_cc,
+            mat_rough_cc=mat_rough_cc,
+            mat_normal_c0=mat_normal_c0,
+            mat_normal_c1=mat_normal_c1,
             tex_type=tex_type,
             tex_color0=tex_color0,
             tex_color1=tex_color1,

@@ -85,6 +85,11 @@ def dense_histogram(idx, vals, n_bins: int):
     ``idx``: [R] int32 (out-of-range entries are dropped);
     ``vals``: [R, C] float32.
     """
+    with jax.named_scope("dense_histogram"):
+        return _dense_histogram(idx, vals, n_bins)
+
+
+def _dense_histogram(idx, vals, n_bins: int):
     R = idx.shape[0]
     C = vals.shape[1]
     cpad = 1

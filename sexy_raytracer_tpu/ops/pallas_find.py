@@ -330,12 +330,13 @@ def find_hit_clustered(scene, org, dir, time, t_min=None, cull=True):
                 sph_bound, _ = _sph_candidates(scene, org, dir, time, t_min)
             else:
                 sph_bound = None
-            lists = cluster_lists(
-                org, dir, t_min,
-                jax.lax.stop_gradient(scene.cluster_min),
-                jax.lax.stop_gradient(scene.cluster_max),
-                t_max=sph_bound,
-            )
+            with jax.named_scope("cluster_lists"):
+                lists = cluster_lists(
+                    org, dir, t_min,
+                    jax.lax.stop_gradient(scene.cluster_min),
+                    jax.lax.stop_gradient(scene.cluster_max),
+                    t_max=sph_bound,
+                )
         else:
             ids = jnp.broadcast_to(jnp.arange(nc, dtype=jnp.int32), (nb, nc))
             lists = jnp.concatenate(

@@ -29,9 +29,13 @@ Reference semantics (quirks included, since they define the images):
     absorbed if the scattered ray leaves below the surface.
   * dielectric (material.h:104-137): Schlick-probability reflect/refract
     with total internal reflection.
-  * diffuseLight (material.h:139-154): never scatters; emits its (solid)
-    color — baked into the material row; non-solid emission textures are
-    rejected at scene build.
+  * diffuseLight (material.h:139-154): never scatters; emits its emission
+    texture's raw value at the hit — solid color, checker (evaluated
+    inline from the hit point), or an image texel baked into the light's
+    own pack layer. Matches the ctor taking any texture (material.h:141).
+  * every PBR slot accepts any texture kind, like the 9 ctor overloads
+    (material.h:25-70): images ride the baked pack; checker/solid values
+    are evaluated inline (they are functions of the 3D hit point).
   * checker albedo: sign of sin(10x)sin(10y)sin(10z) picks even/odd * 255
     (texture.h:42-48); solid albedo passes through at its stored scale, so
     the solid-color PBR ctor's /255 quirk (material.h:165-167) holds.
@@ -96,7 +100,7 @@ def fresnel_epic(f0, h_dot_v):
 # -- packed material rows ----------------------------------------------------
 
 def material_packs(scene):
-    """Packed material tables: float rows [M,17], int rows [M,8]."""
+    """Packed material tables: float rows [M,30], int rows [M,9]."""
     mat_f = jnp.concatenate(
         [
             scene.mat_base_color,                # 0:4
@@ -107,6 +111,11 @@ def material_packs(scene):
             scene.mat_albedo_c0,                 # 8:11
             scene.mat_albedo_c1,                 # 11:14
             scene.mat_emit_rgb,                  # 14:17
+            scene.mat_emit_c1,                   # 17:20
+            scene.mat_metal_cc,                  # 20:22
+            scene.mat_rough_cc,                  # 22:24
+            scene.mat_normal_c0,                 # 24:27
+            scene.mat_normal_c1,                 # 27:30
         ],
         axis=1,
     )
@@ -114,12 +123,13 @@ def material_packs(scene):
         [
             scene.mat_type,          # 0
             scene.mat_albedo_kind,   # 1
-            scene.mat_has_normal,    # 2
-            scene.mat_has_metal,     # 3
-            scene.mat_has_rough,     # 4
+            scene.mat_normal_kind,   # 2
+            scene.mat_metal_kind,    # 3
+            scene.mat_rough_kind,    # 4
             scene.mat_pack_layer,    # 5
             scene.mat_pack_w,        # 6
             scene.mat_pack_h,        # 7
+            scene.mat_emit_kind,     # 8
         ],
         axis=1,
     )
@@ -148,45 +158,51 @@ def _sample_pack(scene, mat, uv):
 
 # -- material models --------------------------------------------------------
 
-def _shade_pbr(scene, mat, pack, rec, ray_dir, unit_sphere_dir):
+def _shade_pbr(scene, mat, pack, rec, ray_dir, unit_sphere_dir, checker_odd):
     base_rgb = mat["base_color"][..., :3]
     kind = mat["albedo_kind"]
+    odd = checker_odd  # [R] bool: sign of sin(10x)sin(10y)sin(10z) < 0
 
     # procedural albedo values (texture.h:26-28, 42-48)
-    sines = (
-        jnp.sin(10.0 * rec.p[..., 0])
-        * jnp.sin(10.0 * rec.p[..., 1])
-        * jnp.sin(10.0 * rec.p[..., 2])
-    )
     checker = (
-        jnp.where((sines < 0.0)[..., None], mat["albedo_c1"], mat["albedo_c0"])
-        * 255.0
+        jnp.where(odd[..., None], mat["albedo_c1"], mat["albedo_c0"]) * 255.0
     )
     map_val = jnp.where((kind == 1)[..., None], mat["albedo_c0"], pack[..., 0:3])
     map_val = jnp.where((kind == 2)[..., None], checker, map_val)
     # textured: sample / 255 (material.h:165-167); untextured: factor rgb
     attenuation = jnp.where((kind == 0)[..., None], base_rgb, map_val / 255.0)
 
-    has_normal = mat["has_normal"] == 1
-    nm = normal_int_to_float(pack[..., 3:6])
+    # normal slot: image texel from the pack, or an inline checker/solid
+    # texture value (both feed normalIntToFloat, material.h:171-186)
+    nk = mat["normal_kind"]
+    nm_val = jnp.where(
+        (nk == 2)[..., None],
+        jnp.where(odd[..., None], mat["normal_c1"], mat["normal_c0"]),
+        pack[..., 3:6],
+    )
+    nm = normal_int_to_float(nm_val)
     # TBN columns: tangent, bitangent, normal (material.h:179-185)
     world_nm = (
         rec.tangent * nm[..., 0:1]
         + rec.bitangent * nm[..., 1:2]
         + rec.normal * nm[..., 2:3]
     )
-    normal = jnp.where(has_normal[..., None], unit_vector(world_nm), rec.normal)
+    normal = jnp.where((nk != 0)[..., None], unit_vector(world_nm), rec.normal)
 
-    m = jnp.where(
-        mat["has_metal"] == 1,
-        jnp.clip(pack[..., 6] / 255.0, 0.0, 1.0),  # red channel, material.h:191
-        mat["metallic"],
-    )
-    r = jnp.where(
-        mat["has_rough"] == 1,
-        jnp.clip(pack[..., 7] / 255.0, 0.0, 1.0),  # green channel, material.h:197
-        mat["roughness"],
-    )
+    # metallic = map red channel / 255 (material.h:191); checker/solid
+    # values are pre-divided at scene build (mat_metal_cc)
+    mk = mat["metal_kind"]
+    m_checker = jnp.where(odd, mat["metal_cc"][..., 1], mat["metal_cc"][..., 0])
+    m = jnp.where(mk == 3, pack[..., 6] / 255.0, mat["metallic"])
+    m = jnp.clip(jnp.where(mk == 2, m_checker, m), 0.0, 1.0)
+    m = jnp.where(mk == 0, mat["metallic"], m)
+
+    # roughness = map green channel / 255 (material.h:197)
+    rk = mat["rough_kind"]
+    r_checker = jnp.where(odd, mat["rough_cc"][..., 1], mat["rough_cc"][..., 0])
+    r = jnp.where(rk == 3, pack[..., 7] / 255.0, mat["roughness"])
+    r = jnp.clip(jnp.where(rk == 2, r_checker, r), 0.0, 1.0)
+    r = jnp.where(rk == 0, mat["roughness"], r)
 
     # scatter direction (material.h:203-208)
     scatter_dir = normal + unit_sphere_dir
@@ -259,25 +275,47 @@ def shade(scene, rec, ray_dir, rand) -> ScatterSample:
         "albedo_c0": gf[:, 8:11],
         "albedo_c1": gf[:, 11:14],
         "emit_rgb": gf[:, 14:17],
+        "emit_c1": gf[:, 17:20],
+        "metal_cc": gf[:, 20:22],
+        "rough_cc": gf[:, 22:24],
+        "normal_c0": gf[:, 24:27],
+        "normal_c1": gf[:, 27:30],
         "type": gi[:, 0],
         "albedo_kind": gi[:, 1],
-        "has_normal": gi[:, 2],
-        "has_metal": gi[:, 3],
-        "has_rough": gi[:, 4],
+        "normal_kind": gi[:, 2],
+        "metal_kind": gi[:, 3],
+        "rough_kind": gi[:, 4],
         "pack_layer": gi[:, 5],
         "pack_w": gi[:, 6],
         "pack_h": gi[:, 7],
+        "emit_kind": gi[:, 8],
     }
     mtype = mat["type"]
     pack = _sample_pack(scene, mat, rec.uv)
 
+    # checker parity shared by every procedural slot (texture.h:42-48)
+    sines = (
+        jnp.sin(10.0 * rec.p[..., 0])
+        * jnp.sin(10.0 * rec.p[..., 1])
+        * jnp.sin(10.0 * rec.p[..., 2])
+    )
+    checker_odd = sines < 0.0
+
     pbr_att, pbr_dir = _shade_pbr(
-        scene, mat, pack, rec, ray_dir, rand["unit_vector"]
+        scene, mat, pack, rec, ray_dir, rand["unit_vector"], checker_odd
     )
     met_att, met_dir, met_ok = _shade_metal(mat, rec, ray_dir, rand["unit_ball"])
     die_att, die_dir = _shade_dielectric(mat, rec, ray_dir, rand["uniform"])
-    # diffuseLight: emitted = solid emit color (material.h:148-151)
-    emitted = jnp.where((mtype == MAT_LIGHT)[..., None], mat["emit_rgb"], 0.0)
+    # diffuseLight: emitted = emit texture value at the hit, raw reference
+    # scale (material.h:148-151): solid color, checker (pre-scaled *255 at
+    # build), or an image texel from the light's own pack layer
+    ek = mat["emit_kind"]
+    emit_val = jnp.where(
+        (ek == 2)[..., None],
+        jnp.where(checker_odd[..., None], mat["emit_c1"], mat["emit_rgb"]),
+        jnp.where((ek == 3)[..., None], pack[..., 0:3], mat["emit_rgb"]),
+    )
+    emitted = jnp.where((mtype == MAT_LIGHT)[..., None], emit_val, 0.0)
 
     def sel(mask, a, b):
         return jnp.where(mask[..., None] if a.ndim > 1 else mask, a, b)

@@ -47,11 +47,18 @@ def trace_rays(
         # clustered kernel excludes them from its block cull lists, so
         # fully-dead ray blocks skip all triangle work (ops/pallas_find.py)
         t_min = jnp.where(alive, T_MIN_DEFAULT, 3.0e38)
-        prim, _t = find_hit(scene, org, dir, time, t_min=t_min, method=method)
-        rec = hit_data(scene, org, dir, time, prim)
+        with jax.named_scope("find_hit"):
+            prim, _t = find_hit(
+                scene, org, dir, time, t_min=t_min, method=method
+            )
+        with jax.named_scope("hit_data"):
+            rec = hit_data(scene, org, dir, time, prim)
 
-        bkeys = jax.vmap(lambda k: jax.random.fold_in(k, 100 + bounce_idx))(keys)
-        u = rng.per_ray_uniform_block(bkeys, 6)
+        with jax.named_scope("bounce_rng"):
+            bkeys = jax.vmap(
+                lambda k: jax.random.fold_in(k, 100 + bounce_idx)
+            )(keys)
+            u = rng.per_ray_uniform_block(bkeys, 6)
         rand = {
             "unit_vector": rng.unit_vector_from_uniforms(u[..., 0], u[..., 1]),
             "unit_ball": rng.in_unit_sphere_from_uniforms(
@@ -59,7 +66,8 @@ def trace_rays(
             ),
             "uniform": u[..., 5],
         }
-        samp = shade(scene, rec, dir, rand)
+        with jax.named_scope("shade"):
+            samp = shade(scene, rec, dir, rand)
 
         miss = alive & ~rec.hit
         rad = rad + jnp.where(miss[..., None], thr * background, 0.0)

@@ -3,8 +3,9 @@
 The reference's triple pixel/sample loop (reference main.cpp:200-227) becomes
 a flat pixel-id grid processed in fixed-size ray chunks, each chunk a single
 compiled dispatch that traces ``samples_per_batch`` samples for every pixel
-and accumulates on device. Sample uids (pixel * spp + sample) key the
-counter-based RNG, so the image is independent of chunking and sharding.
+and accumulates on device. (pixel, sample) pairs key the counter-based RNG
+via a two-level fold-in, so the image is independent of chunking and
+sharding at any resolution/spp (no flat-uid int32 overflow).
 
 Pixel-to-viewport mapping replicates main.cpp:209-211:
     u = (x + rand) / (W-1),  v = ((H - y) + rand) / (H-1)
@@ -49,8 +50,9 @@ def render_pixels(
     C = pixel_ids.shape[0]
     pid = jnp.repeat(pixel_ids, spb)
     sid = sample_start + jnp.tile(jnp.arange(spb, dtype=jnp.int32), C)
-    uid = pid * spp_total + sid
-    keys = rng.ray_keys(base_key, uid)
+    # two-level (pixel, sample) fold-in: a flat pid*spp+sid uid overflows
+    # int32 at 720p/5000spp and aliased ~7% of sample keys (rng.ray_keys_2d)
+    keys = rng.ray_keys_2d(base_key, pid, sid)
     ucam = rng.per_ray_uniform_block(keys, 5)
 
     x = (pid % width).astype(jnp.float32)

@@ -46,6 +46,20 @@ def ray_keys(base_key, ray_uid):
     return jax.vmap(lambda u: jax.random.fold_in(base_key, u))(ray_uid)
 
 
+def ray_keys_2d(base_key, pid, sid):
+    """One key per (pixel, sample) pair via a two-level fold-in.
+
+    A flat ``pid * spp + sid`` uid overflows int32 at the flagship config
+    (1280*720*5000 = 4.6e9 > 2^31: ~7% of samples would alias another
+    sample's key exactly). Folding the two coordinates in separately keeps
+    every (pid, sid) pair distinct for any pid, sid < 2^32 — and sample
+    indices beyond spp (sharded overshoot) stay collision-free too.
+    """
+    return jax.vmap(
+        lambda p, s: jax.random.fold_in(jax.random.fold_in(base_key, p), s)
+    )(pid, sid)
+
+
 def split_per_ray(keys, n):
     """Split each per-ray key into ``n`` subkeys: returns list of [R] keys."""
     return [jax.vmap(lambda k, i=i: jax.random.fold_in(k, i))(keys) for i in range(n)]

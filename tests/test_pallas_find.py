@@ -1,0 +1,143 @@
+"""Clustered Pallas find-hit kernel vs the jnp brute-force path.
+
+VERDICT round 1: the kernel producing the headline bench number had zero
+correctness coverage. These tests run it in interpret mode on the CPU
+mesh (the same kernel code that compiles on TPU) and fuzz it against
+find_hit_bruteforce, which is itself oracle-fuzzed in test_intersect.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sexy_raytracer_tpu.models import presets
+from sexy_raytracer_tpu.models.scene import SceneBuilder
+from sexy_raytracer_tpu.ops.intersect import find_hit, find_hit_bruteforce
+from sexy_raytracer_tpu.ops.histogram import dense_histogram
+from sexy_raytracer_tpu.render.camera import Camera
+
+
+def _random_rays(rng_np, n, spread=3.0):
+    org = jnp.asarray(rng_np.normal(0, spread, size=(n, 3)), jnp.float32)
+    d = rng_np.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    dirs = jnp.asarray(d, jnp.float32)
+    times = jnp.asarray(rng_np.uniform(0, 1, size=n), jnp.float32)
+    return org, dirs, times
+
+
+def _assert_match(scene, org, dirs, times, t_min=None, method="pallas"):
+    p1, t1 = find_hit(scene, org, dirs, times, t_min=t_min, method=method)
+    p0, t0 = find_hit_bruteforce(scene, org, dirs, times, t_min=t_min)
+    p1, t1, p0, t0 = map(np.asarray, (p1, t1, p0, t0))
+    # the two paths use identical formulas; on TPU they agree bitwise, but
+    # interpret-mode-on-CPU FMA contraction differs by ulps, so permit
+    # winner flips only on near-exact t ties (edge-boundary rays)
+    dis = p1 != p0
+    frac = dis.mean()
+    assert frac < 0.01, f"{dis.sum()}/{dis.size} winner mismatches"
+    if dis.any():
+        tt1 = np.where(np.isfinite(t1[dis]), t1[dis], 1e30)
+        tt0 = np.where(np.isfinite(t0[dis]), t0[dis], 1e30)
+        near_tie = np.abs(tt1 - tt0) <= 1e-3 * np.minimum(tt1, tt0) + 1e-5
+        assert near_tie.all(), "winner mismatch beyond tie tolerance"
+    agree = (p1 == p0) & (p0 >= 0)
+    np.testing.assert_allclose(t1[agree], t0[agree], rtol=1e-5, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def chief_scene(data_dir):
+    scene, cfg = presets.masterchief()
+    return scene, cfg
+
+
+def test_kernel_matches_bruteforce_camera_rays(chief_scene, rng_np):
+    scene, cfg = chief_scene
+    camera = Camera.from_config(cfg.camera, cfg.aspect)
+    n = 2048
+    pid = jnp.asarray(rng_np.integers(0, cfg.width * cfg.height, n), jnp.int32)
+    u = ((pid % cfg.width) + 0.5) / (cfg.width - 1)
+    v = ((cfg.height - pid // cfg.width) + 0.5) / (cfg.height - 1)
+    lens = jnp.asarray(rng_np.uniform(size=(n, 3)), jnp.float32)
+    org, dirs, times = camera.get_rays(u, v, lens)
+    _assert_match(scene, org, dirs, times)
+
+
+def test_kernel_matches_bruteforce_random_rays(chief_scene, rng_np):
+    scene, _ = chief_scene
+    org, dirs, times = _random_rays(rng_np, 1024)
+    _assert_match(scene, org, dirs, times)
+
+
+def test_cull_equals_nocull(chief_scene, rng_np):
+    scene, _ = chief_scene
+    org, dirs, times = _random_rays(rng_np, 1024)
+    p1, t1 = find_hit(scene, org, dirs, times, method="pallas")
+    p2, t2 = find_hit(scene, org, dirs, times, method="pallas_nocull")
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def test_dead_lanes_miss_everything(chief_scene, rng_np):
+    scene, _ = chief_scene
+    org, dirs, times = _random_rays(rng_np, 512)
+    t_min = jnp.where(jnp.arange(512) % 2 == 0, 1e-3, 3.0e38)
+    p, t = find_hit(scene, org, dirs, times, t_min=t_min, method="pallas")
+    p = np.asarray(p)
+    assert np.all(p[1::2] == -1)
+    # alive lanes agree with brute force at the same t_min
+    p0, _ = find_hit_bruteforce(scene, org, dirs, times, t_min=t_min)
+    np.testing.assert_array_equal(p[::2], np.asarray(p0)[::2])
+
+
+def test_sphere_only_scene(rng_np):
+    b = SceneBuilder()
+    m = b.add_pbr_material(base_color=(0.5, 0.5, 0.5, 1.0))
+    b.add_sphere((0, 0, -2), 1.0, m)
+    b.add_sphere((0, -101, 0), 100.0, m)
+    b.add_sphere((3, 0, -2), 1.0, m, center1=(3, 1, -2))  # moving
+    scene = b.build()
+    org, dirs, times = _random_rays(rng_np, 512)
+    _assert_match(scene, org, dirs, times)
+
+
+def test_per_ray_t_min(chief_scene, rng_np):
+    scene, _ = chief_scene
+    org, dirs, times = _random_rays(rng_np, 512)
+    t_min = jnp.asarray(rng_np.uniform(0.0, 2.0, 512), jnp.float32)
+    _assert_match(scene, org, dirs, times, t_min=t_min)
+
+
+# ---------------------------------------------------------------------------
+# dense_histogram (the scatter-free gather backward, ops/histogram.py)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("R,N,C", [(5000, 10000, 8), (1000, 786432, 8),
+                                   (4096, 4096, 3), (100, 2048, 1),
+                                   (8192, 3042, 16)])
+def test_dense_histogram(rng_np, R, N, C):
+    idx = rng_np.integers(0, N, size=R).astype(np.int32)
+    idx[: R // 3] = idx[0]  # heavy duplication (real renders concentrate)
+    vals = rng_np.normal(size=(R, C)).astype(np.float32)
+    out = np.asarray(dense_histogram(jnp.asarray(idx), jnp.asarray(vals), N))
+    exp = np.zeros((N, C), np.float32)
+    np.add.at(exp, idx, vals)
+    np.testing.assert_allclose(out, exp, atol=3e-4, rtol=1e-4)
+
+
+def test_dense_histogram_counts_exact(rng_np):
+    idx = rng_np.integers(0, 10000, size=5000).astype(np.int32)
+    idx[:2000] = idx[0]
+    vals = np.ones((5000, 4), np.float32)
+    out = np.asarray(dense_histogram(jnp.asarray(idx), jnp.asarray(vals), 10000))
+    exp = np.zeros((10000, 4), np.float32)
+    np.add.at(exp, idx, vals)
+    np.testing.assert_array_equal(out, exp)
+
+
+def test_dense_histogram_out_of_range_dropped(rng_np):
+    idx = np.array([0, 5, -1, 99, 100, 2**30], np.int32)
+    vals = np.ones((6, 2), np.float32)
+    out = np.asarray(dense_histogram(jnp.asarray(idx), jnp.asarray(vals), 100))
+    assert out.sum() == 6.0  # 0, 5, 99 placed; -1, 100, big dropped
+    assert out[0, 0] == 1 and out[5, 0] == 1 and out[99, 0] == 1

@@ -43,6 +43,29 @@ def build_material_zoo():
     b.add_sphere((6, 0, 4), 1.0,
                  b.add_pbr_material(base_color=(0.8, 0.8, 0.8, 1.0),
                                     metallic=0.3, roughness=0.4))
+    # textured emission: checker light (material.h:141 takes any texture;
+    # checker emits color*255, texture.h:45-47) and image-texel light
+    emit_checker = b.add_checker_texture((0.02, 0.01, 0.0), (0.0, 0.01, 0.02))
+    b.add_sphere((9, 0, 4), 1.0, b.add_light_material(emit_tex=emit_checker))
+    emit_img = ((np.arange(8 * 8 * 3).reshape(8, 8, 3) * 31) % 256)
+    b.add_sphere((0, 0, 8), 1.0, b.add_light_material(
+        emit_tex=b.add_image_texture(emit_img.astype(np.uint8))))
+    # checker / solid textures in the non-albedo PBR slots (the reference's
+    # other ctor overloads, material.h:25-70)
+    slot_checker = b.add_checker_texture((0.9, 0.2, 0.4), (0.1, 0.8, 0.6))
+    slot_solid = b.add_solid_texture((180.0, 90.0, 30.0))
+    b.add_sphere((3, 0, 8), 1.0, b.add_pbr_material(
+        base_color=(0.6, 0.6, 0.6, 1.0),
+        metallic_tex=slot_checker,
+        roughness_tex=slot_checker,
+        normal_tex=slot_solid,
+    ))
+    b.add_sphere((6, 0, 8), 1.0, b.add_pbr_material(
+        base_color=(0.5, 0.5, 0.9, 1.0),
+        metallic_tex=slot_solid,
+        roughness_tex=slot_solid,
+        normal_tex=slot_checker,
+    ))
     return b.build(build_bvh=False)
 
 
