@@ -107,9 +107,9 @@ def _find_kernel(n_tris, n_sph, lists_ref, rays_ref, rays_t_ref, tri_ref,
         disc = half_b * half_b - a * cterm
         has = disc >= 0.0
         sq = jnp.sqrt(jnp.where(has, disc, 0.0))
-        inv_a = 1.0 / jnp.where(a == 0.0, 1.0, a)
-        root0 = (-half_b - sq) * inv_a
-        root1 = (-half_b + sq) * inv_a
+        safe_a = jnp.where(a == 0.0, 1.0, a)
+        root0 = (-half_b - sq) / safe_a   # divide (not reciprocal-mul) to
+        root1 = (-half_b + sq) / safe_a   # match the jnp path bit-for-bit
         ok0 = has & (root0 >= t_min_l) & s_valid
         ok1 = has & (root1 >= t_min_l) & s_valid
         tc = jnp.where(ok0, root0, jnp.where(ok1, root1, _BIG))

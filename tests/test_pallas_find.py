@@ -43,7 +43,7 @@ def _assert_match(scene, org, dirs, times, t_min=None, method="pallas"):
         near_tie = np.abs(tt1 - tt0) <= 1e-3 * np.minimum(tt1, tt0) + 1e-5
         assert near_tie.all(), "winner mismatch beyond tie tolerance"
     agree = (p1 == p0) & (p0 >= 0)
-    np.testing.assert_allclose(t1[agree], t0[agree], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(t1[agree], t0[agree], rtol=2e-4, atol=1e-4)
 
 
 @pytest.fixture(scope="module")
