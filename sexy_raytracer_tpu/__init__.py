@@ -16,5 +16,13 @@ Reference parity notes cite files as ``<file>:<line>`` into /root/reference.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache: first compile of a render/train step is
+# 20-40s+; every CLI/test/bench entry should reuse it. Must be set before
+# jax initializes a backend, which importing this package precedes.
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 from sexy_raytracer_tpu.utils.config import RenderConfig  # noqa: F401
 from sexy_raytracer_tpu.render.camera import Camera  # noqa: F401

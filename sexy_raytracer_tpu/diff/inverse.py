@@ -81,20 +81,34 @@ class TrainState(NamedTuple):
 def sample_tile_ids(rng_np, width, height, n_pixels, tile_w=16, tile_h=8):
     """Random screen tiles -> [n_pixels] int32 pixel ids.
 
-    Uniform over pixels (every pixel lies in exactly one tile of the
-    fixed grid) but spatially coherent within each 128-pixel tile, so the
+    Covers EVERY pixel (ADVICE r2: the old grid draw skipped the rightmost
+    ``W % tile_w`` columns / bottom ``H % tile_h`` rows when the image is
+    not tile-divisible, zeroing their gradients for the whole optimization)
+    while staying spatially coherent within each 128-pixel tile so the
     clustered find kernel's ray blocks cull well (ops/pallas_find.py).
+    Tiles are drawn from the ceil-grid with the last row/column clamped
+    inward, so pixels in the clamped overlap get at most 2x sampling
+    weight — a mild reweighting, not a hole.
     """
     tp = tile_w * tile_h
     n_tiles = max(1, n_pixels // tp)
-    tx = rng_np.integers(0, max(1, width // tile_w), size=n_tiles)
-    ty = rng_np.integers(0, max(1, height // tile_h), size=n_tiles)
+    ntx = -(-width // tile_w)
+    nty = -(-height // tile_h)
+    x0 = np.minimum(
+        rng_np.integers(0, ntx, size=n_tiles) * tile_w,
+        max(width - tile_w, 0),
+    )
+    y0 = np.minimum(
+        rng_np.integers(0, nty, size=n_tiles) * tile_h,
+        max(height - tile_h, 0),
+    )
     yy = np.arange(tile_h)[:, None]
     xx = np.arange(tile_w)[None, :]
-    ids = (
-        (ty[:, None, None] * tile_h + yy[None]) * width
-        + tx[:, None, None] * tile_w + xx[None]
-    ).reshape(-1)
+    # clamp inside the image (only bites when the image is smaller than a
+    # tile; duplicates are harmless sample-weighting)
+    y = np.minimum(y0[:, None, None] + yy[None], height - 1)
+    x = np.minimum(x0[:, None, None] + xx[None], width - 1)
+    ids = (y * width + x).reshape(-1)
     if ids.size < n_pixels:  # pad by repeating (n_pixels not tile-divisible)
         ids = np.concatenate([ids, ids[: n_pixels - ids.size]])
     return ids[:n_pixels].astype(np.int32)

@@ -145,6 +145,64 @@ def build_bvh_numpy(pmin: np.ndarray, pmax: np.ndarray) -> FlatBVH:
     return FlatBVH(node_min, node_max, left, right)
 
 
+def refit_bvh_device(scene, time0: float = 0.0, time1: float = 1.0):
+    """Recompute BVH node bounds on device for trained geometry.
+
+    The tree topology (``bvh_left/right``) is static; only the bounds go
+    stale when inverse rendering moves triangle vertices or sphere centers.
+    This is a jit-safe fixed-point refit: leaf bounds come from the primal
+    primitive arrays (mirroring :func:`primitive_bounds`), then
+    ``ceil(log2(N)) + 2`` vectorized passes propagate child unions upward —
+    enough for the balanced median-split tree (one level per pass).
+    Returns ``(bvh_min, bvh_max)`` jnp arrays.
+    """
+    import jax.numpy as jnp
+
+    big = 3.0e38
+    tmin = jnp.minimum(jnp.minimum(scene.tri_v0, scene.tri_v1), scene.tri_v2)
+    tmax = jnp.maximum(jnp.maximum(scene.tri_v0, scene.tri_v1), scene.tri_v2)
+    flat = tmin == tmax
+    tmin = jnp.where(flat, tmin - 1e-4, tmin)
+    tmax = jnp.where(flat, tmax + 1e-4, tmax)
+
+    c0, c1 = scene.sph_c0, scene.sph_c1
+    st0, st1 = scene.sph_t0, scene.sph_t1
+    r = scene.sph_radius[:, None]
+    moving = jnp.any(c0 != c1, axis=-1, keepdims=True)
+    denom = jnp.where(st1 == st0, 1.0, st1 - st0)[:, None]
+
+    def center_at(t):
+        frac = (t - st0)[:, None] / denom
+        return jnp.where(moving, c0 + frac * (c1 - c0), c0)
+
+    ca, cb = center_at(time0), center_at(time1)
+    smin = jnp.minimum(ca - r, cb - r)
+    smax = jnp.maximum(ca + r, cb + r)
+
+    pmin = jnp.concatenate([tmin, smin], axis=0)
+    pmax = jnp.concatenate([tmax, smax], axis=0)
+    P = pmin.shape[0]
+    left, right = scene.bvh_left, scene.bvh_right
+    N = left.shape[0]
+
+    is_leaf = (left == -1)[:, None]
+    leaf_min = pmin[jnp.clip(right, 0, P - 1)]
+    leaf_max = pmax[jnp.clip(right, 0, P - 1)]
+    l = jnp.clip(left, 0, N - 1)
+    rr = jnp.clip(right, 0, N - 1)
+    node_min = jnp.where(is_leaf, leaf_min, big)
+    node_max = jnp.where(is_leaf, leaf_max, -big)
+    passes = int(np.ceil(np.log2(max(N, 2)))) + 2
+    for _ in range(passes):
+        node_min = jnp.where(
+            is_leaf, leaf_min, jnp.minimum(node_min[l], node_min[rr])
+        )
+        node_max = jnp.where(
+            is_leaf, leaf_max, jnp.maximum(node_max[l], node_max[rr])
+        )
+    return node_min, node_max
+
+
 def validate_bvh(bvh: FlatBVH, pmin: np.ndarray, pmax: np.ndarray) -> None:
     """Structural sanity checks (used by tests and the native-builder oracle)."""
     n = bvh.left.shape[0]

@@ -15,9 +15,39 @@ vector machine: instead of a per-ray stack over single-primitive leaves
 
 from __future__ import annotations
 
+import jax.numpy as jnp
 import numpy as np
 
 CLUSTER_SIZE = 128
+_BIG = 3.0e38
+
+
+def cluster_bounds_device(tri_v0, tri_v1, tri_v2, ck: int = CLUSTER_SIZE):
+    """Re-derive cluster AABBs on device from (possibly trained) vertices.
+
+    The cluster partition is static — cluster ``c`` covers scene-order
+    triangles ``[c*ck, (c+1)*ck)`` — so when inverse rendering updates
+    ``tri_v*`` the bounds are a segment min/max over that fixed partition.
+    Without this, the production cull kernel (ops/pallas_find.py) tests
+    trained geometry against stale host-built AABBs and silently drops
+    hits. Flat axes are padded +-1e-4 like the host path (model.h:199-204).
+    """
+    T = tri_v0.shape[0]
+    if T == 0:
+        return jnp.zeros((0, 3), jnp.float32), jnp.zeros((0, 3), jnp.float32)
+    tmin = jnp.minimum(jnp.minimum(tri_v0, tri_v1), tri_v2)
+    tmax = jnp.maximum(jnp.maximum(tri_v0, tri_v1), tri_v2)
+    flat = tmin == tmax
+    tmin = jnp.where(flat, tmin - 1e-4, tmin)
+    tmax = jnp.where(flat, tmax + 1e-4, tmax)
+    nc = -(-T // ck)
+    pad = nc * ck - T
+    if pad:
+        tmin = jnp.pad(tmin, ((0, pad), (0, 0)), constant_values=_BIG)
+        tmax = jnp.pad(tmax, ((0, pad), (0, 0)), constant_values=-_BIG)
+    cmin = tmin.reshape(nc, ck, 3).min(axis=1)
+    cmax = tmax.reshape(nc, ck, 3).max(axis=1)
+    return cmin, cmax
 
 
 def dfs_order(pmin: np.ndarray, pmax: np.ndarray) -> np.ndarray:

@@ -541,10 +541,14 @@ class SceneBuilder:
                     # image emission: bake the texel into this material's
                     # own pack layer channels 0:3. Light materials never
                     # use the PBR slots, so the layer is otherwise free.
-                    assert m["type"] != MAT_PBR, (
-                        "image emission on a PBR material would collide "
-                        "with its map pack"
-                    )
+                    if m["type"] == MAT_PBR:
+                        # user-input validation must survive python -O
+                        # (ADVICE r2): an assert here would let the
+                        # emission bake overwrite the PBR map pack layer
+                        raise NotImplementedError(
+                            "image emission on a PBR material would "
+                            "collide with its map pack"
+                        )
                     mat_emit_kind[mi] = 3
                     img = self._images[t["image"]]
                     H, W = img.shape[:2]

@@ -101,7 +101,12 @@ def _dense_histogram(idx, vals, n_bins: int):
     nw = -(-n_bins // WIN)
     n_pad = nw * WIN
 
-    rpad = max(-(-R // 8) * 8, WIN)
+    # Always pad at least one sentinel row (idx = n_pad): the compacted
+    # stream then ends in a never-placed sentinel, so the overflow clamp in
+    # `take` below can never alias a real in-window bin. Without it, an
+    # all-unique idx stream with R a multiple of 8 and >= WIN made
+    # tex_u[rpad-1] a real bin and overcounted it WIN-fold.
+    rpad = max(-(-(R + 1) // 8) * 8, WIN)
     if rpad != R:
         idx = jnp.concatenate([idx, jnp.full((rpad - R,), n_pad, jnp.int32)])
         vals = jnp.concatenate([vals, jnp.zeros((rpad - R, C), vals.dtype)])

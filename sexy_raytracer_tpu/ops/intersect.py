@@ -4,7 +4,7 @@ Design: intersection is split into two phases.
 
 1. ``find_hit`` — a *non-differentiable index search*: for each ray return
    the winning primitive id and nothing else. This is the hot kernel; it has
-   Pallas implementations (ops/pallas_intersect.py, ops/pallas_bvh.py) and
+   Pallas implementations (ops/pallas_find.py, ops/pallas_intersect.py) and
    jnp fallbacks here. Gradients through the discrete closest-hit choice are
    intentionally zero (stop-gradient on topology, SURVEY §7).
 

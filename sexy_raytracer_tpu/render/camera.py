@@ -1,8 +1,10 @@
 """Thin-lens camera with shutter-time sampling.
 
-Reference camera.h:10-50 re-designed as a JAX pytree: the camera's derived
-basis vectors are arrays, so camera parameters can be differentiated and the
-ray generator vectorizes over whole pixel fronts.
+Reference camera.h:10-50 re-designed as a JAX pytree: the derived basis
+vectors are arrays and ``from_params`` computes them in pure jnp, so camera
+parameters (eye, look_at, fov, aperture, focus distance) are genuinely
+differentiable — gradient-checked in tests/test_grad.py — and the ray
+generator vectorizes over whole pixel fronts.
 """
 
 from __future__ import annotations
@@ -30,6 +32,52 @@ class Camera(NamedTuple):
     time1: jnp.ndarray        # scalar
 
     @staticmethod
+    def from_params(
+        eye,
+        look_at,
+        up,
+        vfov_degrees,
+        aspect,
+        aperture,
+        focus_dist,
+        time0=0.0,
+        time1=1.0,
+    ) -> "Camera":
+        """Differentiable camera derivation (reference camera.h:19-37).
+
+        All inputs may be traced jnp values; the look-at basis, viewport
+        extents, and lens radius are jnp expressions, so ``jax.grad`` flows
+        through to eye/look_at/up/vfov/aperture/focus_dist.
+        """
+        eye = jnp.asarray(eye, jnp.float32)
+        look_at = jnp.asarray(look_at, jnp.float32)
+        up = jnp.asarray(up, jnp.float32)
+        theta = deg2rad(jnp.asarray(vfov_degrees, jnp.float32))
+        h = jnp.tan(theta / 2.0)
+        vp_height = 2.0 * h
+        vp_width = aspect * vp_height
+
+        w = unit_vector(eye - look_at)
+        u = unit_vector(jnp.cross(up, w))
+        v = unit_vector(jnp.cross(w, u))
+
+        focus_dist = jnp.asarray(focus_dist, jnp.float32)
+        horizontal = focus_dist * vp_width * u
+        vertical = focus_dist * vp_height * v
+        lower_left = eye - horizontal / 2.0 - vertical / 2.0 - focus_dist * w
+        return Camera(
+            origin=eye,
+            lower_left=lower_left,
+            horizontal=horizontal,
+            vertical=vertical,
+            u_axis=u,
+            v_axis=v,
+            lens_radius=jnp.asarray(aperture, jnp.float32) / 2.0,
+            time0=jnp.asarray(time0, jnp.float32),
+            time1=jnp.asarray(time1, jnp.float32),
+        )
+
+    @staticmethod
     def create(
         eye,
         look_at,
@@ -41,36 +89,17 @@ class Camera(NamedTuple):
         time0=0.0,
         time1=1.0,
     ) -> "Camera":
-        # reference camera.h:19-37
-        eye = np.asarray(eye, np.float32)
-        look_at = np.asarray(look_at, np.float32)
-        up = np.asarray(up, np.float32)
-        theta = deg2rad(vfov_degrees)
-        h = np.tan(theta / 2.0)
-        vp_height = 2.0 * h
-        vp_width = aspect * vp_height
-
-        def unit(v):
-            n = np.linalg.norm(v)
-            return v if n == 0 else v / n
-
-        w = unit(eye - look_at)
-        u = unit(np.cross(up, w))
-        v = unit(np.cross(w, u))
-
-        horizontal = focus_dist * vp_width * u
-        vertical = focus_dist * vp_height * v
-        lower_left = eye - horizontal / 2.0 - vertical / 2.0 - focus_dist * w
-        return Camera(
-            origin=jnp.asarray(eye),
-            lower_left=jnp.asarray(lower_left),
-            horizontal=jnp.asarray(horizontal),
-            vertical=jnp.asarray(vertical),
-            u_axis=jnp.asarray(u),
-            v_axis=jnp.asarray(v),
-            lens_radius=jnp.float32(aperture / 2.0),
-            time0=jnp.float32(time0),
-            time1=jnp.float32(time1),
+        """Host-side convenience over :meth:`from_params` (same math)."""
+        return Camera.from_params(
+            np.asarray(eye, np.float32),
+            np.asarray(look_at, np.float32),
+            np.asarray(up, np.float32),
+            vfov_degrees,
+            aspect,
+            aperture,
+            focus_dist,
+            time0,
+            time1,
         )
 
     @staticmethod

@@ -134,6 +134,15 @@ def render_accumulate(
     accum = np.zeros((P, 3), np.float32)
     units_done = 0
 
+    order = tile_pixel_order(W, H)
+    # units_done attributes completed chunks to pixel sets via this order;
+    # resuming under a different traversal would silently corrupt the image
+    # (ADVICE r2), so the checkpoint records the order's hash and a
+    # mismatch restarts instead of resuming.
+    import zlib
+
+    order_hash = np.uint32(zlib.crc32(order.tobytes()))
+
     if checkpoint is not None and os.path.exists(checkpoint):
         saved = np.load(checkpoint)
         if (
@@ -142,13 +151,15 @@ def render_accumulate(
             and int(saved["seed"]) == config.seed
             and int(saved["chunk"]) == chunk
             and int(saved["spb"]) == spb
+            and "order_hash" in saved
+            and np.uint32(saved["order_hash"]) == order_hash
         ):
             accum = saved["accum"]
             units_done = int(saved["units_done"])
             if progress:
                 print(f"resuming from {checkpoint} (unit {units_done})")
-
-    order = tile_pixel_order(W, H)
+        elif progress:
+            print(f"checkpoint {checkpoint} incompatible; restarting")
     unit = 0
     for start in range(0, P, chunk):
         ids = order[start : min(start + chunk, P)]
@@ -196,6 +207,7 @@ def render_accumulate(
                     seed=config.seed,
                     chunk=chunk,
                     spb=spb,
+                    order_hash=order_hash,
                 )
         if progress:
             done = min(start + chunk, P)

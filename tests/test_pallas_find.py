@@ -135,6 +135,28 @@ def test_dense_histogram_counts_exact(rng_np):
     np.testing.assert_array_equal(out, exp)
 
 
+def test_dense_histogram_all_unique(rng_np):
+    """ADVICE r2 high: all-unique idx, R multiple of 8 and >= WIN, left no
+    sentinel padding row, so the overflow clamp aliased the last real bin
+    and overcounted it (bin 4094 got 1025 instead of 1)."""
+    idx = (np.arange(2048, dtype=np.int32) * 2)
+    vals = np.ones((2048, 4), np.float32)
+    out = np.asarray(dense_histogram(jnp.asarray(idx), jnp.asarray(vals), 4096))
+    exp = np.zeros((4096, 4), np.float32)
+    np.add.at(exp, idx, vals)
+    np.testing.assert_array_equal(out, exp)
+
+
+def test_dense_histogram_unique_underfull_last_window(rng_np):
+    # all-unique indices landing only in the last of two windows
+    idx = (2048 + np.arange(0, 2048, 4, dtype=np.int32))  # 512 unique in win 1
+    vals = rng_np.normal(size=(idx.size, 3)).astype(np.float32)
+    out = np.asarray(dense_histogram(jnp.asarray(idx), jnp.asarray(vals), 4096))
+    exp = np.zeros((4096, 3), np.float32)
+    np.add.at(exp, idx, vals)
+    np.testing.assert_allclose(out, exp, atol=3e-4, rtol=1e-4)
+
+
 def test_dense_histogram_out_of_range_dropped(rng_np):
     idx = np.array([0, 5, -1, 99, 100, 2**30], np.int32)
     vals = np.ones((6, 2), np.float32)
