@@ -7,26 +7,61 @@ scene (reference main.cpp:54-154: Master Chief mesh + checker ground + HDR
 light + iron + mirror spheres) at 720p and reports traced rays per second.
 
 Ray accounting: rays = paths * max_bounce (4, reference main.cpp:180) —
-the fixed-depth wavefront traces every bounce slot, matching the
-upper-bound accounting in SURVEY §6.
+the fixed-depth wavefront traces every bounce slot. The SAME accounting is
+applied to the baseline denominator.
 
-``vs_baseline``: the reference publishes no throughput numbers
-(BASELINE.md), so the denominator is a documented estimate of its
-single-thread CPU speed: ~2.0 Mray-casts/s (Shirley-style single-threaded
-C++ tracers on modern x86; consistent with the flagship's ~2.3e10 casts
-taking hours).
+``vs_baseline``: measured, not declared. The reference publishes no
+numbers (BASELINE.md), so tests/reforacle/reforacle — the reference's own
+headers compiled unmodified against from-scratch shims — is timed on this
+machine at the same scene (426x240x8spp: single-thread C++). Measured
+0.247 Mpaths/s = 0.99 Mrays/s in the same accounting; the recorded
+constant is used if the binary is absent.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Extra fields (VERDICT r2 #2): ``fwd_only`` Mrays/s/chip for the pure
+forward render path, ``frame_wallclock_s`` (full 720p frame at the bench
+spp, measured) with a 5000-spp flagship extrapolation, and ``mfu`` — the
+train step's XLA-reported FLOPs over wall-clock against the chip's peak
+(bf16 MXU peak; the workload is mostly f32 VPU math, so this is a
+conservative roofline).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
-REF_BASELINE_MRAYS = 2.0
+# measured on this machine (single x86 core, tests/reforacle @ 426x240x8spp,
+# paths*4 accounting); re-measured live below when the binary exists
+REF_BASELINE_MRAYS_RECORDED = 0.99
+TPU_V5E_PEAK_FLOPS = 197e12  # bf16 MXU peak per chip
+
+
+def measure_reforacle() -> float | None:
+    """Time the compiled reference at 240p/8spp -> Mrays/s (paths*4)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    binary = os.path.join(here, "tests", "reforacle", "reforacle")
+    gltf = "/root/reference/data/masterchief2-separate-xf.gltf"
+    if not (os.path.exists(binary) and os.path.exists(gltf)):
+        return None
+    try:
+        t0 = time.time()
+        subprocess.run(
+            [binary, "426", "240", "8", "4", "/tmp/reforacle_bench.png", gltf],
+            cwd=os.path.dirname(binary),
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+            timeout=120,
+            check=True,
+        )
+        dt = time.time() - t0
+        return 426 * 240 * 8 * 4 / dt / 1e6
+    except Exception:
+        return None
 
 
 def main():
@@ -51,6 +86,9 @@ def main():
     from sexy_raytracer_tpu.models import presets
     from sexy_raytracer_tpu.parallel.mesh import make_mesh, replicate_scene, shard_rays
     from sexy_raytracer_tpu.render.camera import Camera
+    from sexy_raytracer_tpu.render.renderer import render_pixels, tile_pixel_order
+
+    baseline = measure_reforacle() or REF_BASELINE_MRAYS_RECORDED
 
     scene, cfg = presets.masterchief()
     camera = Camera.from_config(cfg.camera, cfg.aspect)
@@ -93,6 +131,56 @@ def main():
     rays = paths * cfg.max_bounce
     mrays_per_s = rays / dt / 1e6
     mrays_per_chip = mrays_per_s / n_dev
+    step_s = dt / n_steps
+
+    # MFU: XLA's own FLOP count for the compiled train step / wall-clock
+    mfu = None
+    try:
+        cost = (
+            step.lower(state, scene_r, camera, pix, tgt, jax.random.key(0))
+            .compile()
+            .cost_analysis()
+        )
+        step_flops = float(cost.get("flops", 0.0))
+        if step_flops > 0:
+            mfu = step_flops / step_s / (TPU_V5E_PEAK_FLOPS * n_dev)
+    except Exception:
+        pass
+
+    # forward-only: the pure render path (no loss/backward), same batch
+    import functools
+
+    fwd = jax.jit(functools.partial(
+        render_pixels,
+        width=cfg.width, height=cfg.height, spb=spb,
+        spp_total=cfg.samples_per_pixel, max_bounce=cfg.max_bounce,
+        method="auto",
+    ))
+    order = tile_pixel_order(cfg.width, cfg.height)
+    fpix = jnp.asarray(order[:pixels])
+    bg = jnp.asarray(cfg.background, jnp.float32)
+    key = jax.random.key(0)
+    fwd(scene, camera, fpix, jnp.int32(0), key, bg).block_until_ready()
+    t0 = time.time()
+    for i in range(n_steps):
+        out = fwd(scene, camera, fpix, jnp.int32(i * spb), key, bg)
+    np.asarray(out)  # forces the stream
+    fwd_dt = time.time() - t0
+    fwd_mrays_chip = rays / fwd_dt / 1e6 / n_dev
+
+    # full-frame wall-clock at 720p (one frame at frame_spp, measured
+    # end-to-end through the driver, then extrapolated to the flagship's
+    # 5000 spp from the per-sample slope)
+    from dataclasses import replace
+
+    from sexy_raytracer_tpu.render.renderer import render_accumulate
+
+    frame_spp = 32
+    t0 = time.time()
+    render_accumulate(scene, replace(cfg, samples_per_pixel=frame_spp),
+                      method="auto")
+    frame_s = time.time() - t0
+    flagship_est_s = frame_s * 5000.0 / frame_spp
 
     print(
         json.dumps(
@@ -100,7 +188,14 @@ def main():
                 "metric": "mrays_per_s_per_chip_fwd_bwd_720p_masterchief",
                 "value": round(mrays_per_chip, 3),
                 "unit": "Mrays/s/chip",
-                "vs_baseline": round(mrays_per_chip / REF_BASELINE_MRAYS, 3),
+                "vs_baseline": round(mrays_per_chip / baseline, 3),
+                "baseline_measured_mrays": round(baseline, 3),
+                "fwd_only": round(fwd_mrays_chip, 3),
+                "step_ms": round(step_s * 1e3, 2),
+                "mfu": round(mfu, 5) if mfu is not None else None,
+                "frame_wallclock_s": round(frame_s, 2),
+                "frame_spp": frame_spp,
+                "flagship_5000spp_est_s": round(flagship_est_s, 1),
             }
         )
     )

@@ -118,7 +118,18 @@ def cmd_inverse(args):
         learning_rate=args.lr,
         method=args.method,
     )
-    print(f"losses: {losses}", file=sys.stderr)
+    print(
+        f"loss: first {losses[0]:.6f}, "
+        f"min {min(losses):.6f}, last {losses[-1]:.6f} "
+        f"({len(losses)} steps)",
+        file=sys.stderr,
+    )
+    if args.losses_out:
+        import json
+
+        with open(args.losses_out, "w") as f:
+            json.dump(losses, f)
+        print(f"wrote {args.losses_out}", file=sys.stderr)
     if args.out:
         preview = render_image(
             scene_opt,
@@ -156,6 +167,8 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=3e-3)
     p.add_argument("--out", default=None)
     p.add_argument("--preview-spp", type=int, default=64)
+    p.add_argument("--losses-out", default=None,
+                   help="write the per-step loss curve as JSON")
     p.set_defaults(fn=cmd_inverse)
 
     p = sub.add_parser("bench", help="run the headline benchmark")

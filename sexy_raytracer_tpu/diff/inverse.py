@@ -51,6 +51,8 @@ def _loss_fn(
     spp_total,
     max_bounce,
     method,
+    loss_type="mse",
+    huber_delta=0.1,
 ):
     full = merge_params(scene, params)
     rad = render_pixels(
@@ -67,9 +69,30 @@ def _loss_fn(
         max_bounce=max_bounce,
         method=method,
     )
-    # gamma-2 resolve like color.h:30-33; epsilon keeps sqrt' finite at 0
-    resolved = jnp.sqrt(jnp.clip(rad / spb, 1e-8, None))
-    return jnp.mean((resolved - target_pixels) ** 2)
+    # gamma-2 resolve + clamp like color.h:30-39 (the reference clamps to
+    # 0.999 before quantizing, and the target is an 8-bit image, so values
+    # past the clamp are unobservable). The clamp doubles as firefly
+    # variance control: an unclamped low-spb estimator puts sqrt(250/spb)
+    # ~ 2.8 into any pixel whose sample bounced into the HDR light,
+    # flooring the loss at ~0.016 on the flagship — 3-8x the signal of a
+    # realistic perturbation, which drowned every gradient (measured).
+    # Epsilon keeps sqrt' finite at 0; clipped fireflies get zero grad.
+    resolved = jnp.clip(jnp.sqrt(jnp.clip(rad / spb, 1e-8, None)), 0.0, 0.999)
+    err = resolved - target_pixels
+    if loss_type == "huber":
+        # Robust loss for HDR scenes: a single direct hit on the
+        # 250-intensity light saturates a low-spb pixel (bimodal
+        # dark-vs-0.999 residuals, sigma ~ 0.4 on the flagship chief),
+        # and those flips dominate the MSE gradient. Huber bounds each
+        # pixel's pull at delta, a ~7x gradient-noise reduction there
+        # while staying quadratic (exact) in smooth regions.
+        a = jnp.abs(err)
+        return jnp.mean(
+            jnp.where(a <= huber_delta,
+                      0.5 * err * err,
+                      huber_delta * (a - 0.5 * huber_delta))
+        )
+    return jnp.mean(err * err)
 
 
 class TrainState(NamedTuple):
@@ -78,8 +101,16 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def sample_tile_ids(rng_np, width, height, n_pixels, tile_w=16, tile_h=8):
+def sample_tile_ids(rng_np, width, height, n_pixels, tile_w=16, tile_h=8,
+                    roi=None):
     """Random screen tiles -> [n_pixels] int32 pixel ids.
+
+    ``roi``: optional (row0, row1, col0, col1) region of interest — tiles
+    are drawn inside it only. Concentrating samples on the subject is the
+    lever that makes texel-level gradients usable: uniform flagship
+    sampling gives each visible texel a ray every ~200 steps (pure-noise
+    Adam updates, measured), an ROI multiplies that density by the
+    inverse of the subject's screen fraction.
 
     Covers EVERY pixel (ADVICE r2: the old grid draw skipped the rightmost
     ``W % tile_w`` columns / bottom ``H % tile_h`` rows when the image is
@@ -92,14 +123,15 @@ def sample_tile_ids(rng_np, width, height, n_pixels, tile_w=16, tile_h=8):
     """
     tp = tile_w * tile_h
     n_tiles = max(1, n_pixels // tp)
-    ntx = -(-width // tile_w)
-    nty = -(-height // tile_h)
+    r0, r1, c0, c1 = roi if roi is not None else (0, height, 0, width)
+    ntx = max(1, -(-(c1 - c0) // tile_w))
+    nty = max(1, -(-(r1 - r0) // tile_h))
     x0 = np.minimum(
-        rng_np.integers(0, ntx, size=n_tiles) * tile_w,
+        c0 + rng_np.integers(0, ntx, size=n_tiles) * tile_w,
         max(width - tile_w, 0),
     )
     y0 = np.minimum(
-        rng_np.integers(0, nty, size=n_tiles) * tile_h,
+        r0 + rng_np.integers(0, nty, size=n_tiles) * tile_h,
         max(height - tile_h, 0),
     )
     yy = np.arange(tile_h)[:, None]
@@ -121,12 +153,19 @@ def make_train_step(
     spb: int = 4,
     method: str = "auto",
     trainable=None,
+    grad_masks=None,
+    loss_type: str = "mse",
+    huber_delta: float = 0.1,
 ):
     """Build a jitted SPMD train step.
 
     Returns ``step(state, scene, camera, pixel_ids, target_pixels, key)
     -> (state, loss)`` where ``pixel_ids``/``target_pixels`` are sharded on
     the ray axis.
+
+    ``grad_masks``: optional dict param-name -> broadcastable 0/1 array;
+    masked-out elements receive zero gradient (e.g. freeze the ground and
+    light spheres while optimizing the subject spheres' positions).
     """
     kwargs = dict(
         width=config.width,
@@ -135,6 +174,8 @@ def make_train_step(
         spp_total=config.samples_per_pixel,
         max_bounce=config.max_bounce,
         method=method,
+        loss_type=loss_type,
+        huber_delta=huber_delta,
     )
     background = jnp.asarray(config.background, jnp.float32)
 
@@ -157,6 +198,12 @@ def make_train_step(
             jax.lax.pmean(grads, RAY_AXIS), SAMPLE_AXIS
         )
         loss = jax.lax.pmean(jax.lax.pmean(loss, RAY_AXIS), SAMPLE_AXIS)
+        if grad_masks:
+            grads = {
+                k: g * jnp.asarray(grad_masks[k], g.dtype)
+                if k in grad_masks else g
+                for k, g in grads.items()
+            }
         return loss, grads
 
     mapped = shard_map(
@@ -179,6 +226,45 @@ def make_train_step(
     return step
 
 
+def make_optimizer(params, learning_rate, lr_overrides=None, decay_steps=None):
+    """Adam with per-parameter-group learning rates and cosine decay.
+
+    Adam's update magnitude is ~lr per element regardless of gradient
+    scale, so parameter groups living on very different scales need
+    different rates: the shade_atlas/atlas texel packs are 0-255
+    reference scale (texture.h:147) while sphere centers and material
+    factors are unit scale. A single lr either freezes the textures or
+    explodes the geometry. Default: texel-pack params get ``lr * 256``.
+
+    ``decay_steps``: cosine-decay the lr to 5% over the run. Essential
+    under Monte-Carlo gradient noise — at constant lr Adam random-walks
+    every parameter (measured: the *unperturbed* ground-sphere center
+    drifted 2.3 units over 300 steps), so the loss plateaus noisily
+    instead of converging.
+    """
+    lr_overrides = dict(lr_overrides) if lr_overrides else {}
+    for texel_group in ("shade_atlas", "atlas"):
+        if texel_group in params:
+            lr_overrides.setdefault(texel_group, learning_rate * 256.0)
+    lr_overrides = {k: v for k, v in lr_overrides.items() if k in params}
+
+    def tx(lr):
+        if decay_steps:
+            lr = optax.cosine_decay_schedule(lr, decay_steps, alpha=0.05)
+        # zero_nans: a single non-finite gradient (e.g. a degenerate
+        # specular configuration on one sampled path) must skip that
+        # element's update, not permanently poison the parameters.
+        return optax.chain(optax.zero_nans(), optax.adam(lr))
+
+    if not lr_overrides:
+        return tx(learning_rate)
+    labels = {k: (k if k in lr_overrides else "_default") for k in params}
+    txs = {"_default": tx(learning_rate)}
+    for k, v in lr_overrides.items():
+        txs[k] = tx(v)
+    return optax.multi_transform(txs, labels)
+
+
 def inverse_render(
     scene,
     target_image: np.ndarray,
@@ -187,6 +273,7 @@ def inverse_render(
     pixels_per_step: int = 4096,
     spb: int = 4,
     learning_rate: float = 3e-3,
+    lr_overrides=None,
     trainable=None,
     mesh=None,
     method: str = "auto",
@@ -194,10 +281,22 @@ def inverse_render(
     seed: int = 0,
     log_every: int = 25,
     progress: bool = True,
+    param_ema: float = 0.98,
+    grad_masks=None,
+    roi=None,
+    loss_type: str = "mse",
+    huber_delta: float = 0.1,
 ):
     """Optimize scene params against ``target_image`` ([H,W,3] float 0..1).
 
     Returns (optimized SceneData, losses list).
+
+    ``param_ema``: the returned parameters are an exponential moving
+    average over the trajectory (Polyak averaging). Under Monte-Carlo
+    gradient noise Adam's iterates random-walk around the optimum with
+    radius ~lr — measured on the CI scene: the loss touched 8e-4
+    mid-run, then wandered back to ~1e-2 — while the EMA sits at the
+    walk's center. Set 0 to disable.
     """
     from sexy_raytracer_tpu.diff.params import DEFAULT_TRAINABLE
 
@@ -211,10 +310,15 @@ def inverse_render(
     if camera is None:
         camera = Camera.from_config(config.camera, config.aspect)
 
-    optimizer = optax.adam(learning_rate)
     params = extract_params(scene, trainable)
+    optimizer = make_optimizer(
+        params, learning_rate, lr_overrides, decay_steps=n_steps
+    )
     state = TrainState(params, optimizer.init(params), jnp.int32(0))
-    step = make_train_step(mesh, config, optimizer, spb=spb, method=method)
+    step = make_train_step(
+        mesh, config, optimizer, spb=spb, method=method,
+        grad_masks=grad_masks, loss_type=loss_type, huber_delta=huber_delta,
+    )
 
     W, H = config.width, config.height
     target_flat = jnp.asarray(
@@ -228,15 +332,25 @@ def inverse_render(
     key = jax.random.key(seed)
     rng_np = np.random.default_rng(seed)
     losses = []
+    ema = None
+
+    @jax.jit
+    def _ema_update(ema, params):
+        return jax.tree.map(
+            lambda e, p: param_ema * e + (1.0 - param_ema) * p, ema, params
+        )
+
     for i in range(n_steps):
-        ids = sample_tile_ids(rng_np, W, H, pixels_per_step)
+        ids = sample_tile_ids(rng_np, W, H, pixels_per_step, roi=roi)
         ids_dev = jnp.asarray(ids)
         tgt = target_flat[ids_dev]
         key, sub = jax.random.split(key)
         state, loss = step(state, scene, camera, ids_dev, tgt, sub)
-        if i % log_every == 0 or i == n_steps - 1:
-            loss_v = float(loss)
-            losses.append(loss_v)
-            if progress:
-                print(f"step {i}: loss {loss_v:.6f}", flush=True)
-    return merge_params(scene, state.params), losses
+        if param_ema:
+            ema = state.params if ema is None else _ema_update(ema, state.params)
+        losses.append(loss)  # device value; sync'd in bulk below
+        if progress and (i % log_every == 0 or i == n_steps - 1):
+            print(f"step {i}: loss {float(loss):.6f}", flush=True)
+    losses = [float(l) for l in losses]  # full per-step curve
+    final = ema if param_ema else state.params
+    return merge_params(scene, final), losses

@@ -200,13 +200,103 @@ def masterchief(
     spp: int = 1000,
     height: int = 720,
     asset: str = "masterchief2-separate-xf.gltf",
+    root_transform=None,
 ):
     """The reference's randomScene() (main.cpp:54-154): Master Chief mesh +
     checker ground + HDR light + (sentinel-textured) iron PBR sphere +
     mirror metal sphere."""
     data_dir = data_dir or default_data_dir()
     b = SceneBuilder()
-    load_gltf(os.path.join(data_dir, asset), b)
+    load_gltf(os.path.join(data_dir, asset), b, root_transform=root_transform)
+    _add_ground_and_lights(b)
+    _add_iron_and_metal(b, data_dir)
+    scene = b.build()
+    cfg = RenderConfig(
+        width=int(height * 16 / 9),
+        height=height,
+        samples_per_pixel=spp,
+        max_bounce=4,
+        camera=_flagship_camera(),
+    )
+    return scene, cfg
+
+
+# ---------------------------------------------------------------------------
+# Flagship via GLB container: halo.glb is the same Master Chief mesh as
+# masterchief2-separate-xf.gltf but stored as binary GLB *with live node
+# transforms* (the -xf file is pre-baked because the reference loader
+# ignores node transforms, model.h:335-365). CHIEF_GLB_BAKE is the residual
+# world transform (uniform 0.075 scale x rotation) that maps halo.glb's
+# node-transformed triangles onto the -xf geometry — least-squares fit over
+# all 3,042 triangle centroids, max residual 9.2e-7 (tests/test_gltf.py).
+# ---------------------------------------------------------------------------
+
+CHIEF_GLB_BAKE = np.array(
+    [
+        [-0.00065918, -0.00265495, -0.0749501, 0.0],
+        [0.0, 0.07495299, -0.00265505, 0.0],
+        [0.07499711, -0.00002334, -0.00065877, 0.0],
+        [0.0, 0.0, 0.0, 1.0],
+    ]
+)
+
+
+def masterchief_glb(data_dir: str | None = None, spp: int = 1000,
+                    height: int = 720):
+    """The flagship scene loaded through the GLB path (halo.glb)."""
+    return masterchief(
+        data_dir=data_dir,
+        spp=spp,
+        height=height,
+        asset="halo.glb",
+        root_transform=CHIEF_GLB_BAKE,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Alternate reference scene branches (main.cpp:60-80)
+# ---------------------------------------------------------------------------
+
+def _branch_transform() -> np.ndarray:
+    # reference main.cpp:66-70: translate(0,1,0) * rotY(-15 deg)
+    angle = np.deg2rad(-15.0)
+    return np.array(
+        [
+            [np.cos(angle), 0.0, np.sin(angle), 0.0],
+            [0.0, 1.0, 0.0, 1.0],
+            [-np.sin(angle), 0.0, np.cos(angle), 0.0],
+            [0.0, 0.0, 0.0, 1.0],
+        ]
+    )
+
+
+def square(data_dir: str | None = None, spp: int = 64, height: int = 480):
+    """square.gltf branch (main.cpp:60-71, `if (0)` block): the two-triangle
+    quad under the same furniture/camera as the flagship."""
+    data_dir = data_dir or default_data_dir()
+    b = SceneBuilder()
+    load_gltf(os.path.join(data_dir, "square.gltf"), b,
+              root_transform=_branch_transform())
+    _add_ground_and_lights(b)
+    _add_iron_and_metal(b, data_dir)
+    scene = b.build()
+    cfg = RenderConfig(
+        width=int(height * 16 / 9),
+        height=height,
+        samples_per_pixel=spp,
+        max_bounce=4,
+        camera=_flagship_camera(),
+    )
+    return scene, cfg
+
+
+def scene_gltf(data_dir: str | None = None, spp: int = 64, height: int = 480):
+    """scene.gltf branch (main.cpp:77-80, the `else` block): a 15-primitive
+    scene-graph asset (real node transforms; uint32 indices — the asset the
+    reference loader cannot parse, model.h:448)."""
+    data_dir = data_dir or default_data_dir()
+    b = SceneBuilder()
+    load_gltf(os.path.join(data_dir, "scene.gltf"), b)
     _add_ground_and_lights(b)
     _add_iron_and_metal(b, data_dir)
     scene = b.build()
@@ -225,4 +315,7 @@ PRESETS = {
     "cube": cube,
     "rustediron": rustediron_globe,
     "masterchief": masterchief,
+    "masterchief_glb": masterchief_glb,
+    "square": square,
+    "scene": scene_gltf,
 }

@@ -44,6 +44,11 @@ from sexy_raytracer_tpu.utils.mathx import EPSILON, PI, safe_sqrt, unit_vector
 
 T_MIN_DEFAULT = 0.001  # reference main.cpp:39
 
+# The clustered Pallas kernel keeps the whole 64 B/triangle plane/edge pack
+# VMEM-resident (ops/pallas_find.py); past this count it cannot fit beside
+# the ray blocks, so ``auto`` falls over to the BVH traversal.
+PALLAS_RESIDENT_MAX_TRIS = 120_000
+
 
 class HitRecord(NamedTuple):
     """SoA hit record (reference hittable.h:9-22, arrays over rays)."""
@@ -223,6 +228,8 @@ def find_hit(scene, org, dir, time, t_min=None, method="auto"):
       * ``bruteforce`` — tiled jnp scan.
       * ``bvh`` — vmapped while-loop BVH traversal.
     """
+    if method == "auto" and scene.tri_v0.shape[0] > PALLAS_RESIDENT_MAX_TRIS:
+        method = "bvh"  # measured crossover: see tools/profile_bigscene.py
     if method in ("auto", "pallas", "pallas_nocull"):
         from sexy_raytracer_tpu.ops.pallas_find import (
             find_hit_clustered,

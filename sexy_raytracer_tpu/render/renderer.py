@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import functools
 import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -134,6 +135,9 @@ def render_accumulate(
     accum = np.zeros((P, 3), np.float32)
     units_done = 0
 
+    from sexy_raytracer_tpu.utils.profiling import Meter
+
+    meter = Meter("render_accumulate")
     order = tile_pixel_order(W, H)
     # units_done attributes completed chunks to pixel sets via this order;
     # resuming under a different traversal would silently corrupt the image
@@ -176,6 +180,8 @@ def render_accumulate(
             if ids_dev is None:
                 ids_dev = jnp.asarray(ids)
                 chunk_accum = jnp.asarray(accum[ids])
+                chunk_t0 = time.time()
+                chunk_paths = 0
             n_s = min(spb, spp - s0)  # final batch may be partial
             out = render_chunk(
                 scene,
@@ -192,10 +198,18 @@ def render_accumulate(
                 method=method,
             )
             chunk_accum = chunk_accum + out
+            chunk_paths += n_valid * n_s
             unit += 1
             dirty = True
         if dirty:
+            # the host download is the true sync point (axon's
+            # block_until_ready returns before execution); meter the whole
+            # chunk here so the sample batches stay pipelined
             accum[ids[:n_valid]] = np.asarray(chunk_accum)[:n_valid]
+            meter.seconds += time.time() - chunk_t0
+            meter.paths += chunk_paths
+            meter.rays += chunk_paths * config.max_bounce
+            meter.steps += 1
             units_done = unit
             if checkpoint is not None:
                 np.savez(
@@ -214,6 +228,7 @@ def render_accumulate(
             print(f"\rpixels {done}/{P}", end="", flush=True)
     if progress:
         print()
+        print(meter.report(), flush=True)
     return accum.reshape(H, W, 3)
 
 

@@ -109,6 +109,79 @@ def test_per_ray_t_min(chief_scene, rng_np):
 
 
 # ---------------------------------------------------------------------------
+# per-block interval cull (the large-scene cluster cull, VERDICT r2 weak #4)
+# ---------------------------------------------------------------------------
+
+def test_block_cull_superset_of_exact(chief_scene, rng_np):
+    """cluster_lists_block must be conservative: its active set per block
+    is a superset of the exact per-ray cull's — otherwise hits are lost."""
+    from sexy_raytracer_tpu.ops.pallas_find import (
+        RAY_BLOCK,
+        cluster_lists,
+        cluster_lists_block,
+    )
+
+    scene, _ = chief_scene
+    cmin = scene.cluster_min
+    cmax = scene.cluster_max
+    NC = cmin.shape[0]
+    for trial in range(3):
+        org, dirs, times = _random_rays(rng_np, 1024, spread=2.0)
+        t_min = jnp.full((1024,), 1e-3)
+        if trial == 2:  # axis-aligned rays: zero direction components
+            d = np.zeros((1024, 3), np.float32)
+            d[np.arange(1024), rng_np.integers(0, 3, 1024)] = rng_np.choice(
+                [-1.0, 1.0], 1024
+            )
+            dirs = jnp.asarray(d)
+        exact = np.asarray(cluster_lists(org, dirs, t_min, cmin, cmax))
+        block = np.asarray(
+            cluster_lists_block(org, dirs, t_min, cmin, cmax)
+        )
+        for b in range(exact.shape[0]):
+            e = set(exact[b, 1 : 1 + exact[b, 0]].tolist())
+            s = set(block[b, 1 : 1 + block[b, 0]].tolist())
+            assert e <= s, (trial, b, sorted(e - s))
+
+
+def test_block_cull_dead_lanes(chief_scene, rng_np):
+    from sexy_raytracer_tpu.ops.pallas_find import cluster_lists_block
+
+    scene, _ = chief_scene
+    org, dirs, times = _random_rays(rng_np, 512)
+    t_min = jnp.full((512,), 3.0e38)  # all dead
+    lists = np.asarray(
+        cluster_lists_block(org, dirs, t_min, scene.cluster_min,
+                            scene.cluster_max)
+    )
+    assert (lists[:, 0] == 0).all()
+
+
+def test_find_hit_auto_dispatches_bvh_for_large_scenes(rng_np, monkeypatch):
+    """method='auto' must route past the VMEM-resident kernel once the
+    triangle pack cannot fit (PALLAS_RESIDENT_MAX_TRIS)."""
+    from sexy_raytracer_tpu.ops import intersect
+
+    calls = {}
+
+    def fake_bvh(scene, org, dir, time, t_min=None):
+        calls["bvh"] = True
+        return find_hit_bruteforce(scene, org, dir, time, t_min)
+
+    monkeypatch.setattr(
+        "sexy_raytracer_tpu.ops.bvh_traverse.find_hit_bvh", fake_bvh
+    )
+    monkeypatch.setattr(intersect, "PALLAS_RESIDENT_MAX_TRIS", 0)
+    b = SceneBuilder()
+    m = b.add_pbr_material()
+    b.add_mesh([[-1, -1, 0], [1, -1, 0], [0, 1, 0]], None, [[0, 1, 2]], m)
+    scene = b.build()
+    org, dirs, times = _random_rays(rng_np, 64)
+    intersect.find_hit(scene, org, dirs, times, method="auto")
+    assert calls.get("bvh")
+
+
+# ---------------------------------------------------------------------------
 # dense_histogram (the scatter-free gather backward, ops/histogram.py)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Relative SPMD scaling curve on a virtual CPU device mesh.
+
+Measures render_sharded throughput at 1/2/4/8 virtual devices (fixed total
+work, strong scaling) and writes artifacts/scaling.json. Run in a fresh
+process per device count (XLA device count is fixed at backend init):
+
+    python tools/run_scaling_curve.py          # orchestrates all counts
+    python tools/run_scaling_curve.py --n 4    # one measurement (internal)
+
+Interpretation caveat (recorded in the artifact): virtual CPU devices
+share the host's physical cores — this machine has 2 — so ideal scaling
+is only observable up to 2 devices; 4/8-device numbers measure that SPMD
+orchestration/collective overhead stays low under oversubscription, not
+parallel speedup. The per-device-count efficiency vs the 2-core ceiling
+is the meaningful figure. On real hardware the same program scales across
+chips via ICI (the driver validates compile+run at 8 devices through
+__graft_entry__.dryrun_multichip).
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def measure(n_devices: int) -> dict:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={n_devices}"
+    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sexy_raytracer_tpu.models import presets
+    from sexy_raytracer_tpu.parallel.mesh import make_mesh, replicate_scene, shard_rays
+    from sexy_raytracer_tpu.parallel.render import make_sharded_chunk_fn
+    from sexy_raytracer_tpu.render.camera import Camera
+    from sexy_raytracer_tpu.render.renderer import tile_pixel_order
+
+    scene, cfg = presets.masterchief(height=240)
+    camera = Camera.from_config(cfg.camera, cfg.aspect)
+    mesh = make_mesh()
+    assert len(jax.devices()) == n_devices
+
+    pixels = 8192  # fixed TOTAL work regardless of device count
+    spb = 2
+    fn = make_sharded_chunk_fn(
+        mesh, width=cfg.width, height=cfg.height, spb=spb,
+        spp_total=64, max_bounce=cfg.max_bounce, method="bruteforce",
+    )
+    order = tile_pixel_order(cfg.width, cfg.height)
+    ids = shard_rays(jnp.asarray(order[:pixels]), mesh)
+    scene_r = replicate_scene(scene, mesh)
+    key = jax.random.key(0)
+    bg = jnp.asarray(cfg.background, jnp.float32)
+
+    out = fn(scene_r, camera, ids, jnp.int32(0), key, bg)
+    np.asarray(out)  # compile + settle
+    reps = 3
+    t0 = time.time()
+    for i in range(reps):
+        out = fn(scene_r, camera, ids, jnp.int32(2 * (i + 1)), key, bg)
+    np.asarray(out)
+    dt = (time.time() - t0) / reps
+    rays = pixels * spb * cfg.max_bounce
+    return {"n_devices": n_devices, "seconds_per_chunk": dt,
+            "mrays_per_s": rays / dt / 1e6}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=None)
+    args = ap.parse_args()
+    if args.n:
+        print(json.dumps(measure(args.n)))
+        return
+
+    rows = []
+    for n in (1, 2, 4, 8):
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--n", str(n)],
+            capture_output=True, text=True, timeout=1800,
+        )
+        line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+        rows.append(json.loads(line))
+        print(rows[-1], flush=True)
+
+    base = rows[0]["mrays_per_s"]
+    cores = os.cpu_count() or 1
+    for r in rows:
+        n = r["n_devices"]
+        r["speedup_vs_1"] = round(r["mrays_per_s"] / base, 3)
+        ideal = min(n, cores)
+        r["efficiency_vs_core_ceiling"] = round(
+            r["mrays_per_s"] / (base * ideal), 3
+        )
+    art = {
+        "host_physical_cores": cores,
+        "note": (
+            "strong scaling, fixed total work, virtual CPU devices share "
+            f"{cores} cores: ideal speedup saturates at {cores}; "
+            "efficiency_vs_core_ceiling = measured / (1-dev rate x "
+            "min(n, cores))"
+        ),
+        "rows": rows,
+    }
+    out = os.path.join(REPO, "artifacts", "scaling.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(art, f, indent=2)
+    print(json.dumps(art, indent=2))
+
+
+if __name__ == "__main__":
+    main()
