@@ -36,6 +36,30 @@ class FlatBVH(NamedTuple):
     node_max: np.ndarray  # [N,3] float32
     left: np.ndarray      # [N] int32; -1 marks a leaf
     right: np.ndarray     # [N] int32; child id, or primitive id at leaves
+    skip: np.ndarray = None  # [N] int32; preorder escape index (see below)
+
+
+def compute_skip(left: np.ndarray, right: np.ndarray) -> np.ndarray:
+    """Skip links for stackless traversal: ``skip[i]`` = the first preorder
+    node AFTER node i's subtree (N for the last spine).
+
+    With the preorder invariant (an interior node's left child is ``i+1``),
+    traversal needs no stack at all: descend to ``i+1`` on a box hit,
+    jump to ``skip[i]`` on a miss or leaf — the threaded-tree form GPU
+    tracers use, and the TPU-native answer to per-lane stacks (a vmapped
+    stack's dynamic scatter faulted the TPU worker outright).
+    """
+    n = left.shape[0]
+    skip = np.empty((n,), np.int32)
+    stack = [(0, n)]
+    while stack:
+        node, esc = stack.pop()
+        skip[node] = esc
+        l, r = int(left[node]), int(right[node])
+        if l != -1:
+            stack.append((r, esc))
+            stack.append((l, r))
+    return skip
 
 
 def primitive_bounds(scene, time0: float = 0.0, time1: float = 1.0):
@@ -79,15 +103,19 @@ def build_bvh(scene, time0: float = 0.0, time1: float = 1.0) -> FlatBVH:
     if P == 0:
         raise ValueError("cannot build a BVH over an empty scene")
 
+    bvh = None
     try:
         from sexy_raytracer_tpu.native import bvh_native
 
         if bvh_native.available() and P >= 512:
-            return bvh_native.build(pmin, pmax)
+            bvh = bvh_native.build(pmin, pmax)
     except ImportError:
         pass
-
-    return build_bvh_numpy(pmin, pmax)
+    if bvh is None:
+        bvh = build_bvh_numpy(pmin, pmax)
+    if bvh.skip is None:
+        bvh = bvh._replace(skip=compute_skip(bvh.left, bvh.right))
+    return bvh
 
 
 def build_bvh_numpy(pmin: np.ndarray, pmax: np.ndarray) -> FlatBVH:

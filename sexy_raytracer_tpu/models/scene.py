@@ -131,6 +131,8 @@ class SceneData(NamedTuple):
     bvh_max: jnp.ndarray     # [N,3]
     bvh_left: jnp.ndarray    # [N] int32
     bvh_right: jnp.ndarray   # [N] int32
+    bvh_skip: jnp.ndarray    # [N] int32 preorder escape index — enables the
+    #   stackless threaded traversal (models/bvh.py compute_skip)
 
     # -- derived triangle intersection pack (see prepare()) -------------
     tri_n: jnp.ndarray       # [T,3] unnormalized geometric normal (model.h:276)
@@ -715,6 +717,7 @@ class SceneBuilder:
             bvh_max=np.zeros((0, 3), f32),
             bvh_left=np.zeros((0,), i32),
             bvh_right=np.zeros((0,), i32),
+            bvh_skip=np.zeros((0,), i32),
             tri_n=tri_n.astype(f32),
             tri_d=tri_d.astype(f32),
             tri_q=tri_q.astype(f32),
@@ -732,6 +735,7 @@ class SceneBuilder:
                 bvh_max=bvh.node_max,
                 bvh_left=bvh.left,
                 bvh_right=bvh.right,
+                bvh_skip=bvh.skip,
             )
 
         if device:

@@ -1,24 +1,25 @@
-"""BVH traversal hit finding.
+"""BVH traversal hit finding — stackless threaded (skip-link) form.
 
-Iterative stack-based traversal of the flattened BVH (models/bvh.py) — the
-design the reference prototyped in its compute shader (compute.glsl:154-185:
-``uint stack[32]``, leaf test ``leftAndRight.r != -1``) with its bugs fixed
-(the shader never initialized the ray, compute.glsl:158, and its slab test
-had copy-paste errors, compute.glsl:55-59).
+The reference prototyped stack-based traversal in its compute shader
+(compute.glsl:154-185: ``uint stack[32]``, leaf test
+``leftAndRight.r != -1``). A per-lane stack is architecturally hostile on
+a vector machine: under ``vmap`` every push is a dynamic scatter, and that
+form outright FAULTED the TPU worker ("TPU worker process crashed").
+Instead the tree is threaded with preorder skip links
+(models/bvh.py compute_skip): an interior hit descends to ``node+1`` (the
+preorder left child), a miss or leaf jumps to ``skip[node]`` — no stack,
+no scatter, pure gathers, one ``lax.while_loop`` over lockstep rays.
 
-Traversal semantics follow bvhNode::hit (reference bvh.h:97-105): node boxes
-are tested against [t_min, current-best-t] so far subtrees are pruned as the
-closest hit shrinks. Unlike the reference, leaf primitive hits DO respect
-the current best (the reference's triangle ignores tMax, model.h:128-129 —
-see ops/intersect.py for why that quirk is not reproduced).
+Traversal semantics follow bvhNode::hit (reference bvh.h:97-105): node
+boxes are tested against [t_min, current-best-t] so subtrees are pruned as
+the closest hit shrinks, descending left-first like the reference. Unlike
+the reference, leaf primitive hits DO respect the current best (the
+reference's triangle ignores tMax, model.h:128-129 — see ops/intersect.py
+for why that quirk is not reproduced).
 
-This is the vmapped ``lax.while_loop`` form: one stack per ray, all rays
-stepping in lockstep under vmap. It is the correctness/capability
-implementation and the CPU-mesh reference for the Pallas traversal kernel;
-on TPU, per-iteration gathers make it slower than the fused brute-force
-kernel for small scenes (the flagship's 3k triangles), which is why
-``method="auto"`` prefers the brute-force kernel. For large scenes the
-scaling story flips: traversal is O(log n) per ray vs O(n).
+For small scenes the fused clustered kernel wins (the flagship's 3k
+triangles test in ~2 VMEM-resident tiles); past the kernel's VMEM
+residency limit ``method="auto"`` dispatches here (O(log n) per ray).
 """
 
 from __future__ import annotations
@@ -27,8 +28,6 @@ import jax
 import jax.numpy as jnp
 
 from sexy_raytracer_tpu.utils.mathx import EPSILON
-
-MAX_STACK = 64  # binary median-split tree of 2^63 prims; ample
 
 _BIG = 3.0e38
 
@@ -96,19 +95,19 @@ def _make_traverse(scene):
         hi = jnp.minimum(tmax, t_max)
         return hi > lo
 
+    bvh_skip = scene.bvh_skip
+    N = bvh_left.shape[0]
+
     def traverse(org, dir, time, t_min):
         inv_dir = 1.0 / dir  # inf on zero components, like the reference
-        stack = jnp.zeros((MAX_STACK,), jnp.int32)
-        state = (stack, jnp.int32(1), jnp.float32(_BIG), jnp.int32(-1))
+        state = (jnp.int32(0), jnp.float32(_BIG), jnp.int32(-1))
 
         def cond(state):
-            _, sp, _, _ = state
-            return sp > 0
+            node, _, _ = state
+            return node < N
 
         def body(state):
-            stack, sp, best_t, best_i = state
-            node = stack[sp - 1]
-            sp = sp - 1
+            node, best_t, best_i = state
             box_ok = aabb_hit(node, org, inv_dir, best_t, t_min)
             left = bvh_left[node]
             right = bvh_right[node]
@@ -131,18 +130,12 @@ def _make_traverse(scene):
             best_t = jnp.where(take, t_prim, best_t)
             best_i = jnp.where(take, prim, best_i)
 
-            # interior: push children (right then left -> left popped first,
-            # preserving the reference's left-first descent bvh.h:101-102)
-            push = box_ok & ~is_leaf
-            stack = stack.at[sp].set(jnp.where(push, right, stack[sp]))
-            sp = sp + jnp.where(push, 1, 0)
-            stack = stack.at[jnp.minimum(sp, MAX_STACK - 1)].set(
-                jnp.where(push, left, stack[jnp.minimum(sp, MAX_STACK - 1)])
-            )
-            sp = sp + jnp.where(push, 1, 0)
-            return (stack, sp, best_t, best_i)
+            # threaded step: descend (preorder left child = node+1) on an
+            # interior box hit, otherwise escape past the subtree
+            node = jnp.where(box_ok & ~is_leaf, node + 1, bvh_skip[node])
+            return (node, best_t, best_i)
 
-        _, _, best_t, best_i = jax.lax.while_loop(cond, body, state)
+        _, best_t, best_i = jax.lax.while_loop(cond, body, state)
         return jnp.where(best_t < _BIG, best_t, jnp.inf), best_i
 
     return traverse

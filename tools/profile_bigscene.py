@@ -81,34 +81,64 @@ def time_method(scene, method, n_rays=65536, reps=3):
     return dt, hits
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--sizes", type=int, nargs="*", default=[1, 3, 6, 10, 18])
-    ap.add_argument("--rays", type=int, default=65536)
-    args = ap.parse_args()
-
+def run_cell(grid: int, method: str, n_rays: int) -> dict:
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
+    scene = build_tiled_chief(grid)
+    dt, hits = time_method(scene, method, n_rays=n_rays)
+    return {"seconds": round(dt, 4), "hits": hits,
+            "mrays_per_s": round(n_rays / dt / 1e6, 2)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", type=int, nargs="*", default=[1, 3, 6, 10, 18])
+    ap.add_argument("--rays", type=int, default=65536)
+    ap.add_argument("--cell", nargs=2, default=None,
+                    help="(internal) grid method — run one cell and print")
+    args = ap.parse_args()
+
+    if args.cell:
+        print("CELL " + json.dumps(
+            run_cell(int(args.cell[0]), args.cell[1], args.rays)
+        ), flush=True)
+        return
+
+    import subprocess
+
+    import jax
 
     from sexy_raytracer_tpu.ops.intersect import PALLAS_RESIDENT_MAX_TRIS
 
     rows = []
     for g in args.sizes:
-        scene = build_tiled_chief(g)
-        T = scene.num_triangles
+        T = 3042 * g * g
         row = {"grid": g, "triangles": T}
         for method in ("pallas", "bvh"):
             if method == "pallas" and T > PALLAS_RESIDENT_MAX_TRIS:
                 row[method] = None  # VMEM-resident pack cannot fit
                 continue
+            # one subprocess per cell: the BVH while-loop traversal can
+            # fault the TPU worker (observed on the axon backend), which
+            # poisons the whole client process — isolate so the sweep
+            # records the fault and continues
             try:
-                dt, hits = time_method(scene, method, n_rays=args.rays)
-                row[method] = {"seconds": round(dt, 4), "hits": hits,
-                               "mrays_per_s": round(args.rays / dt / 1e6, 2)}
-            except Exception as e:  # noqa: BLE001
-                row[method] = {"error": f"{type(e).__name__}: {e}"[:200]}
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--cell", str(g), method, "--rays", str(args.rays)],
+                    capture_output=True, text=True, timeout=1200,
+                )
+                lines = [l for l in r.stdout.splitlines()
+                         if l.startswith("CELL ")]
+                if lines:
+                    row[method] = json.loads(lines[-1][5:])
+                else:
+                    tail = (r.stderr or r.stdout).strip().splitlines()[-3:]
+                    row[method] = {"error": " | ".join(tail)[:300]}
+            except subprocess.TimeoutExpired:
+                row[method] = {"error": "timeout"}
         rows.append(row)
         print(json.dumps(row), flush=True)
 
