@@ -25,8 +25,11 @@ import jax.numpy as jnp
 # tables with at most this many rows get the one-hot matmul backward;
 # larger ones use the sort-based dense histogram (ops/histogram.py)
 ONEHOT_MAX_ROWS = 1024
-# rays per backward chunk: onehot block is [CHUNK, rows] f32
-ONEHOT_CHUNK = 8192
+# elements budget for one backward chunk's one-hot block ([chunk, rows]
+# f32): chunking exists to bound that intermediate, but a sequential
+# lax.scan of tiny dots is launch-bound, so the chunk adapts to the table
+# — a 5-row material table does the whole 131k-ray front in ONE dot
+ONEHOT_BLOCK_ELEMS = 1 << 24
 
 
 def table_lookup(table, idx):
@@ -56,25 +59,31 @@ def _bwd(n_rows, idx, g):
         dtable = dense_histogram(idx, g.reshape(R, -1), n_rows)
         return dtable.reshape(shape).astype(dtype), None
 
-    chunk = min(ONEHOT_CHUNK, R)
+    chunk = min(max(ONEHOT_BLOCK_ELEMS // max(n_rows, 1), 8192), R)
     pad = (-R) % chunk
     if pad:
         idx = jnp.concatenate([idx, jnp.zeros((pad,), idx.dtype)])
         g = jnp.concatenate([g, jnp.zeros((pad,) + g.shape[1:], g.dtype)])
     n_chunks = idx.shape[0] // chunk
-    idx_c = idx.reshape(n_chunks, chunk)
-    g_c = g.reshape((n_chunks, chunk) + g.shape[1:])
 
-    def body(acc, xs):
-        i_chunk, g_chunk = xs
+    def one_chunk(i_chunk, g_chunk):
         onehot = jax.nn.one_hot(i_chunk, n_rows, dtype=jnp.float32)  # [C, N]
-        acc = acc + jax.lax.dot_general(
+        return jax.lax.dot_general(
             onehot,
             g_chunk,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return acc, None
+
+    if n_chunks == 1:
+        return one_chunk(idx, g).astype(dtype), None
+
+    idx_c = idx.reshape(n_chunks, chunk)
+    g_c = g.reshape((n_chunks, chunk) + g.shape[1:])
+
+    def body(acc, xs):
+        i_chunk, g_chunk = xs
+        return acc + one_chunk(i_chunk, g_chunk), None
 
     init = jnp.zeros(shape, jnp.float32)
     dtable, _ = jax.lax.scan(body, init, (idx_c, g_c))
