@@ -42,24 +42,37 @@ TPU_V5E_PEAK_FLOPS = 197e12  # bf16 MXU peak per chip
 
 
 def measure_reforacle() -> float | None:
-    """Time the compiled reference at 240p/8spp -> Mrays/s (paths*4)."""
+    """Time the compiled reference at 240p -> Mrays/s (paths*4).
+
+    Runs at 8 spp and 1 spp and uses the *difference* so fixed process
+    overhead (startup, glTF parse, PNG write) cancels out of the
+    render-phase rate (ADVICE r3: timing the whole process biased the
+    baseline low and inflated vs_baseline).
+    """
     here = os.path.dirname(os.path.abspath(__file__))
     binary = os.path.join(here, "tests", "reforacle", "reforacle")
     gltf = "/root/reference/data/masterchief2-separate-xf.gltf"
     if not (os.path.exists(binary) and os.path.exists(gltf)):
         return None
-    try:
+
+    def run(spp: int) -> float:
         t0 = time.time()
         subprocess.run(
-            [binary, "426", "240", "8", "4", "/tmp/reforacle_bench.png", gltf],
+            [binary, "426", "240", str(spp), "4",
+             "/tmp/reforacle_bench.png", gltf],
             cwd=os.path.dirname(binary),
             stdout=subprocess.DEVNULL,
             stderr=subprocess.DEVNULL,
             timeout=120,
             check=True,
         )
-        dt = time.time() - t0
-        return 426 * 240 * 8 * 4 / dt / 1e6
+        return time.time() - t0
+
+    try:
+        dt = run(8) - run(1)
+        if dt <= 0:
+            return None
+        return 426 * 240 * (8 - 1) * 4 / dt / 1e6
     except Exception:
         return None
 

@@ -126,12 +126,21 @@ def sample_tile_ids(rng_np, width, height, n_pixels, tile_w=16, tile_h=8,
     r0, r1, c0, c1 = roi if roi is not None else (0, height, 0, width)
     ntx = max(1, -(-(c1 - c0) // tile_w))
     nty = max(1, -(-(r1 - r0) // tile_h))
+    # last tile clamps inward to the ROI edge when the ROI is at least one
+    # tile wide (ADVICE r3: clamping only to the image edge let tiles spill
+    # up to tile-1 pixels past the ROI's right/bottom edge)
     x0 = np.minimum(
-        c0 + rng_np.integers(0, ntx, size=n_tiles) * tile_w,
+        np.minimum(
+            c0 + rng_np.integers(0, ntx, size=n_tiles) * tile_w,
+            max(c1 - tile_w, c0),
+        ),
         max(width - tile_w, 0),
     )
     y0 = np.minimum(
-        r0 + rng_np.integers(0, nty, size=n_tiles) * tile_h,
+        np.minimum(
+            r0 + rng_np.integers(0, nty, size=n_tiles) * tile_h,
+            max(r1 - tile_h, r0),
+        ),
         max(height - tile_h, 0),
     )
     yy = np.arange(tile_h)[:, None]

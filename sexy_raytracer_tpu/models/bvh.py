@@ -179,11 +179,14 @@ def refit_bvh_device(scene, time0: float = 0.0, time1: float = 1.0):
     The tree topology (``bvh_left/right``) is static; only the bounds go
     stale when inverse rendering moves triangle vertices or sphere centers.
     This is a jit-safe fixed-point refit: leaf bounds come from the primal
-    primitive arrays (mirroring :func:`primitive_bounds`), then
-    ``ceil(log2(N)) + 2`` vectorized passes propagate child unions upward —
-    enough for the balanced median-split tree (one level per pass).
+    primitive arrays (mirroring :func:`primitive_bounds`), then vectorized
+    child-union passes propagate upward until a fixed point — one level per
+    pass, run inside a ``lax.while_loop`` so ANY tree depth converges
+    exactly (ADVICE r3: a fixed ``ceil(log2 N)+2`` pass count silently
+    under-propagated for trees deeper than balanced median-split).
     Returns ``(bvh_min, bvh_max)`` jnp arrays.
     """
+    import jax
     import jax.numpy as jnp
 
     big = 3.0e38
@@ -214,20 +217,33 @@ def refit_bvh_device(scene, time0: float = 0.0, time1: float = 1.0):
     N = left.shape[0]
 
     is_leaf = (left == -1)[:, None]
+    # cull bounds are conservative data, not a gradient path (the caller
+    # stop-grads the result); cutting here keeps the non-differentiable
+    # while_loop below out of the AD graph entirely
+    pmin = jax.lax.stop_gradient(pmin)
+    pmax = jax.lax.stop_gradient(pmax)
     leaf_min = pmin[jnp.clip(right, 0, P - 1)]
     leaf_max = pmax[jnp.clip(right, 0, P - 1)]
     l = jnp.clip(left, 0, N - 1)
     rr = jnp.clip(right, 0, N - 1)
     node_min = jnp.where(is_leaf, leaf_min, big)
     node_max = jnp.where(is_leaf, leaf_max, -big)
-    passes = int(np.ceil(np.log2(max(N, 2)))) + 2
-    for _ in range(passes):
-        node_min = jnp.where(
+
+    def one_pass(state):
+        node_min, node_max, _ = state
+        new_min = jnp.where(
             is_leaf, leaf_min, jnp.minimum(node_min[l], node_min[rr])
         )
-        node_max = jnp.where(
+        new_max = jnp.where(
             is_leaf, leaf_max, jnp.maximum(node_max[l], node_max[rr])
         )
+        changed = jnp.any(new_min != node_min) | jnp.any(new_max != node_max)
+        return new_min, new_max, changed
+
+    node_min, node_max, _ = jax.lax.while_loop(
+        lambda s: s[2], one_pass,
+        (node_min, node_max, jnp.asarray(True)),
+    )
     return node_min, node_max
 
 

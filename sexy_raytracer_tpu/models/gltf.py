@@ -206,7 +206,6 @@ def load_gltf(
     path: str,
     builder: SceneBuilder,
     apply_transforms: bool = True,
-    texture_scale: float = 1.0,
     root_transform: Optional[np.ndarray] = None,
 ) -> int:
     """Load a glTF/GLB file into ``builder``; returns triangle count added.
@@ -227,10 +226,7 @@ def load_gltf(
         if src is None:
             return TEX_NONE
         if src not in image_cache:
-            pixels = g.image_pixels(src)
-            if pixels is not None and texture_scale != 1.0:
-                pixels = pixels  # reserved for mip policies
-            image_cache[src] = builder.add_image_texture(pixels)
+            image_cache[src] = builder.add_image_texture(g.image_pixels(src))
         return image_cache[src]
 
     mat_ids = []

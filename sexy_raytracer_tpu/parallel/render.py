@@ -152,9 +152,9 @@ def render_sharded(
         chunk_accum = jnp.zeros((chunk, 3), jnp.float32)
         s0 = 0
         while s0 < spp:
-            # the final round may overshoot; extra samples are traced but
-            # discarded by rescaling below — keep spp divisible by
-            # spb * n_sample_shards to avoid this
+            # the final round may overshoot; overshoot samples
+            # (sid >= spp) are zero-masked inside render_pixels, so the
+            # sum is exactly the spp-sample estimator for any spp
             out = fn(scene_r, camera_r, ids_dev, jnp.int32(s0), base_key, background)
             chunk_accum = chunk_accum + out
             s0 += spp_per_round
@@ -163,6 +163,4 @@ def render_sharded(
             print(f"\rpixels {min(start + chunk, P_pixels)}/{P_pixels}", end="")
     if progress:
         print()
-    # actual traced sample count per pixel (>= spp when not divisible)
-    traced = ((spp + spp_per_round - 1) // spp_per_round) * spp_per_round
-    return np.asarray(colorlib.resolve(accum.reshape(H, W, 3), traced))
+    return np.asarray(colorlib.resolve(accum.reshape(H, W, 3), spp))
