@@ -4,26 +4,34 @@ The backward pass of every texture/table gather is
 
     dTable[i, c] = sum over rays r with idx[r] == i of g[r, c]
 
-— a scatter-add. XLA's TPU scatter is row-serial (~11 ms for 131k rows
-into a 786k-row table, measured device-side), and the round-1 one-hot
-matmul backward cost R x rows x W x C MACs (~12 ms). This module does it
-in ~R log R + N work with no scatter at all:
+— a scatter-add. XLA's TPU scatter is row-serial (~13.6 ms for 131k rows
+into a 524k-row table, measured device-side through the axon tunnel).
 
-1. sort (idx, g) by idx — XLA TPU sort is fast (~0.5 ms for 131k keys);
-2. inclusive cumsum; per-segment sums = differences of the cumsum at
-   consecutive segment ends;
-3. compact the (unique idx, segment sum) pairs to the front with a second
-   sort by rank — after which *at most WIN unique indices fall in any
-   WIN-wide index window*, so each window's entries are a regular-size
-   slice of the compacted stream;
-4. gather those slices into a regular [NW, WIN] layout and let a Pallas
-   kernel place each window: a [entries, WIN/KPACK] one-hot over the high
-   part of the local index is built entirely in VMEM, the low part x
-   channels are packed into 128 lanes, and the window is written with ONE
-   MXU matmul (contraction = entries — the MXU-friendly shape). No HBM
-   one-hot, no scatter.
+Two scatter-free implementations live here:
 
-Used by ops/lookup.py for the shading-atlas and texture-atlas VJPs.
+* ``dense_histogram`` (default, ``_dense_histogram_direct``) — ONE Pallas
+  kernel plus a tiny XLA prologue. Entries are cut into ``CH``-entry
+  chunks; the prologue computes, per 2048-bin output window, the compacted
+  list of chunks holding any index in that window (the same
+  worklist-by-scalar-prefetch structure as the clustered find kernel,
+  ops/pallas_find.py). The kernel then runs grid-per-window: for each
+  active chunk it builds a [WIN/kpack, CH] one-hot over the high part of
+  the local bin index, packs (low part x channel) onto 128 lanes, and
+  accumulates the window with one MXU matmul. Duplicate indices simply
+  accumulate. Work scales with *actual (chunk, window) locality* — ~4.2k
+  pairs (~35 G MAC) for the whole 4-bounce flagship backward, measured on
+  real render indices — instead of the fixed ~6 dispatched XLA stages of
+  the sort-based path, each of which pays multi-ms launch overhead on
+  this backend (tools/profile_histogram.py: the sort pipeline's stages
+  alone are 4-9 ms each; the full sorted histogram is ~13 ms/call).
+  All-zero gradient rows (dead ray lanes — most of the wavefront after
+  bounce 1) are routed to an out-of-range sentinel so they cost nothing.
+
+* ``dense_histogram_sorted`` — the round-3 sort + cumsum + segment-sum
+  pipeline, kept as an A/B reference and adversarial-distribution
+  fallback (its cost is distribution-independent).
+
+Used by ops/lookup.py for the shading-atlas and packed-row-table VJPs.
 """
 
 from __future__ import annotations
@@ -36,6 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 WIN = 2048  # dense output bins per placement window
+CH = 512    # entries per worklist chunk (direct path)
 
 
 def _interpret() -> bool:
@@ -83,10 +92,119 @@ def dense_histogram(idx, vals, n_bins: int):
     """sum_{r: idx[r]==i} vals[r] -> [n_bins, C] float32, scatter-free.
 
     ``idx``: [R] int32 (out-of-range entries are dropped);
-    ``vals``: [R, C] float32.
+    ``vals``: [R, C] float32. Rows whose value vector is entirely zero are
+    dropped too (they contribute nothing; routing them to the sentinel
+    keeps dead ray lanes out of the worklist).
     """
     with jax.named_scope("dense_histogram"):
+        return _dense_histogram_direct(idx, vals, n_bins)
+
+
+def dense_histogram_sorted(idx, vals, n_bins: int):
+    """Sort-based histogram (round-3 path); kept for A/B comparison."""
+    with jax.named_scope("dense_histogram_sorted"):
         return _dense_histogram(idx, vals, n_bins)
+
+
+def _cpad_for(C: int) -> int:
+    cpad = 1
+    while cpad < C or 128 % cpad:
+        cpad *= 2
+    assert cpad <= 128
+    return cpad
+
+
+def _direct_kernel(win, cpad, ch, lists_ref, idx_ref, val_ref, out_ref):
+    """Grid (NW,). Accumulates one WIN-wide output window from its active
+    chunks (scalar-prefetched worklist, like the find kernel's cluster
+    lists).
+
+    idx_ref [NCH, 1, CH] int32 global bin ids (sentinel >= NW*WIN drops),
+    val_ref [NCH, cpad, CH] f32 (channels on sublanes),
+    out_ref [win // kpack, 128] f32: column l*cpad+c holds bin
+    ``row*kpack + l`` channel ``c``.
+    """
+    w = pl.program_id(0)
+    kpack = 128 // cpad
+    n_hi = win // kpack
+    hi_iota = jax.lax.broadcasted_iota(jnp.int32, (n_hi, ch), 0)
+
+    def body(k, acc):
+        c = lists_ref[w, 1 + k]
+        local = idx_ref[c] - w * win                   # [1, CH]
+        in_win = (local >= 0) & (local < win)
+        hi = jnp.where(in_win, local // kpack, -1)     # -1 -> no one-hot hit
+        lo = jnp.where(in_win, local % kpack, kpack)
+        oh = (hi == hi_iota).astype(jnp.float32)       # [n_hi, CH]
+        seg = val_ref[c]                               # [cpad, CH]
+        parts = [jnp.where(lo == l, seg, 0.0) for l in range(kpack)]
+        v_t = jnp.concatenate(parts, axis=0)           # [128, CH]
+        # HIGHEST: full-f32 products (Mosaic supports only DEFAULT and
+        # HIGHEST; a single bf16 pass would round every gradient value to
+        # 8 mantissa bits). The one-hot side is exact either way.
+        return acc + jax.lax.dot_general(
+            oh, v_t, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    out_ref[...] = jax.lax.fori_loop(
+        0, lists_ref[w, 0], body, jnp.zeros((n_hi, 128), jnp.float32)
+    )
+
+
+def _dense_histogram_direct(idx, vals, n_bins: int):
+    R = idx.shape[0]
+    C = vals.shape[1]
+    cpad = _cpad_for(C)
+    kpack = 128 // cpad
+    n_hi = WIN // kpack
+    nw = -(-n_bins // WIN)
+    sent = nw * WIN  # in no window: local == WIN fails in_win everywhere
+
+    live = jnp.any(vals != 0.0, axis=1)
+    idx = jnp.where(live & (idx >= 0) & (idx < n_bins), idx, sent)
+    vals = vals.astype(jnp.float32)
+
+    nch = -(-R // CH)
+    rpad = nch * CH
+    if rpad != R:
+        idx = jnp.concatenate([idx, jnp.full((rpad - R,), sent, jnp.int32)])
+        vals = jnp.concatenate([vals, jnp.zeros((rpad - R, C), jnp.float32)])
+    if cpad != C:
+        vals = jnp.pad(vals, ((0, 0), (0, cpad - C)))
+
+    idx_r = idx.reshape(nch, 1, CH)
+    vals_t = vals.reshape(nch, CH, cpad).transpose(0, 2, 1)  # [NCH, cpad, CH]
+
+    # worklist: per window, ascending ids of the chunks that touch it
+    widx = idx.reshape(nch, CH) // WIN                       # sent//WIN == nw
+    touch = (widx[:, :, None] == jnp.arange(nw)[None, None, :]).any(axis=1)
+    count = jnp.sum(touch, axis=0, dtype=jnp.int32)          # [nw]
+    key = jnp.where(touch.T, jnp.arange(nch, dtype=jnp.int32)[None, :], nch)
+    lists = jnp.concatenate(
+        [count[:, None], jnp.sort(key, axis=1)], axis=1
+    )                                                        # [nw, nch+1]
+
+    out = pl.pallas_call(
+        functools.partial(_direct_kernel, WIN, cpad, CH),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nw,),
+            in_specs=[
+                pl.BlockSpec((nch, 1, CH), lambda w, s: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nch, cpad, CH), lambda w, s: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((n_hi, 128), lambda w, s: (w, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((nw * n_hi, 128), jnp.float32),
+        interpret=_interpret(),
+    )(lists, idx_r, vals_t)
+
+    return out.reshape(nw * WIN, cpad)[:n_bins, :C]
 
 
 def _dense_histogram(idx, vals, n_bins: int):
