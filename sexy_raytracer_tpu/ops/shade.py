@@ -83,8 +83,10 @@ def trowbridge_reitz_ndf(n_dot_h, roughness):
     alpha2 = alpha * alpha
     denom = PI * (n_dot_h * n_dot_h * (alpha2 - 1.0) + 1.0) ** 2
     # guard the r=0, NdotH=1 singular point (the reference computes 0/0
-    # NaN there, pbr.h:62-64 — a measure-zero event we make finite)
-    return alpha2 / jnp.maximum(denom, 1e-20)
+    # NaN there, pbr.h:62-64 — a measure-zero event we make finite).
+    # 1e-12, NOT 1e-20: the VJP divides by the guard SQUARED, and 1e-40
+    # underflows f32 to 0 -> 0/0 NaN gradients exactly at the singularity.
+    return alpha2 / jnp.maximum(denom, 1e-12)
 
 
 def schlick_gaf(n_dot_v, roughness):

@@ -43,6 +43,7 @@ def render_pixels(
     spp_total: int,
     max_bounce: int,
     method: str,
+    fused=None,
 ):
     """Pure chunk body: trace ``spb`` samples per pixel id -> radiance sums
     [C,3]. Differentiable w.r.t. scene/camera arrays; reused by the jitted
@@ -63,7 +64,8 @@ def render_pixels(
 
     org, direction, time = camera.get_rays(u, v, ucam[..., 2:5])
     radiance = trace_rays(
-        scene, org, direction, time, keys, background, max_bounce, method
+        scene, org, direction, time, keys, background, max_bounce, method,
+        fused=fused,
     )
     # drop overshoot samples (sid >= spp_total): the SPMD driver's final
     # round traces a full spb per sample-shard even when spp is not
@@ -76,7 +78,8 @@ def render_pixels(
 
 render_chunk = functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "spb", "spp_total", "max_bounce", "method"),
+    static_argnames=("width", "height", "spb", "spp_total", "max_bounce",
+                     "method", "fused"),
 )(render_pixels)
 
 
