@@ -44,7 +44,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 WIN = 2048  # dense output bins per placement window
-CH = 512    # entries per worklist chunk (direct path)
+CH = 512    # baseline entries per worklist chunk (direct path)
+# SMEM budget for the scalar-prefetched worklist [nw, nch+1] i32: v5e SMEM
+# is 1 MiB and Mosaic rejects larger prefetch operands (measured: a
+# 524k-entry call with CH=512 built a 1.18 MB worklist and failed to
+# compile). CH doubles until the worklist fits.
+WORKLIST_BYTES_MAX = 640 * 1024
 
 
 def _interpret() -> bool:
@@ -157,6 +162,23 @@ def _dense_histogram_direct(idx, vals, n_bins: int):
     R = idx.shape[0]
     C = vals.shape[1]
     cpad = _cpad_for(C)
+
+    # The kernel keeps idx + vals VMEM-resident across the window grid;
+    # past ~8 MiB of values, split the entry stream and sum the partial
+    # histograms (a 524k-entry C=16 call would otherwise need 33 MiB).
+    r_max = (8 << 20) // (4 * cpad)
+    if R > r_max:
+        k = -(-R // r_max)
+        part = -(-R // k)
+        out = None
+        for i in range(k):
+            piece = _dense_histogram_direct(
+                idx[i * part:(i + 1) * part],
+                vals[i * part:(i + 1) * part],
+                n_bins,
+            )
+            out = piece if out is None else out + piece
+        return out
     kpack = 128 // cpad
     n_hi = WIN // kpack
     nw = -(-n_bins // WIN)
@@ -166,19 +188,22 @@ def _dense_histogram_direct(idx, vals, n_bins: int):
     idx = jnp.where(live & (idx >= 0) & (idx < n_bins), idx, sent)
     vals = vals.astype(jnp.float32)
 
-    nch = -(-R // CH)
-    rpad = nch * CH
+    ch = CH
+    while nw * (-(-R // ch) + 1) * 4 > WORKLIST_BYTES_MAX:
+        ch *= 2
+    nch = -(-R // ch)
+    rpad = nch * ch
     if rpad != R:
         idx = jnp.concatenate([idx, jnp.full((rpad - R,), sent, jnp.int32)])
         vals = jnp.concatenate([vals, jnp.zeros((rpad - R, C), jnp.float32)])
     if cpad != C:
         vals = jnp.pad(vals, ((0, 0), (0, cpad - C)))
 
-    idx_r = idx.reshape(nch, 1, CH)
-    vals_t = vals.reshape(nch, CH, cpad).transpose(0, 2, 1)  # [NCH, cpad, CH]
+    idx_r = idx.reshape(nch, 1, ch)
+    vals_t = vals.reshape(nch, ch, cpad).transpose(0, 2, 1)  # [NCH, cpad, CH]
 
     # worklist: per window, ascending ids of the chunks that touch it
-    widx = idx.reshape(nch, CH) // WIN                       # sent//WIN == nw
+    widx = idx.reshape(nch, ch) // WIN                       # sent//WIN == nw
     touch = (widx[:, :, None] == jnp.arange(nw)[None, None, :]).any(axis=1)
     count = jnp.sum(touch, axis=0, dtype=jnp.int32)          # [nw]
     key = jnp.where(touch.T, jnp.arange(nch, dtype=jnp.int32)[None, :], nch)
@@ -187,14 +212,14 @@ def _dense_histogram_direct(idx, vals, n_bins: int):
     )                                                        # [nw, nch+1]
 
     out = pl.pallas_call(
-        functools.partial(_direct_kernel, WIN, cpad, CH),
+        functools.partial(_direct_kernel, WIN, cpad, ch),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nw,),
             in_specs=[
-                pl.BlockSpec((nch, 1, CH), lambda w, s: (0, 0, 0),
+                pl.BlockSpec((nch, 1, ch), lambda w, s: (0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((nch, cpad, CH), lambda w, s: (0, 0, 0),
+                pl.BlockSpec((nch, cpad, ch), lambda w, s: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((n_hi, 128), lambda w, s: (w, 0),

@@ -17,7 +17,30 @@
 #include <cstdlib>
 #include <iostream>
 #include <memory>
+#include <new>
 #include <ostream>
+
+// Resolve the reference's uninitialized-member UB (pbrMetallicRoughness
+// ctors 1-4 never set metalness/roughness, material.h:25-42; VALIDATION.md
+// §3) the way the golden-era builds evidently did: zero-initialized heap
+// pages. Overriding global operator new keeps the reference headers
+// untouched while making every render of this binary well-defined and
+// golden-consistent (metalness=0, roughness=0) — required for the
+// per-pixel statistical parity test (tests/test_golden_statistical.py).
+void* operator new(std::size_t n) {
+  void* p = std::calloc(1, n ? n : 1);
+  if (!p) throw std::bad_alloc();
+  return p;
+}
+void* operator new[](std::size_t n) {
+  void* p = std::calloc(1, n ? n : 1);
+  if (!p) throw std::bad_alloc();
+  return p;
+}
+void operator delete(void* p) noexcept { std::free(p); }
+void operator delete[](void* p) noexcept { std::free(p); }
+void operator delete(void* p, std::size_t) noexcept { std::free(p); }
+void operator delete[](void* p, std::size_t) noexcept { std::free(p); }
 
 #include "Eigen/Core"
 #include "Eigen/Geometry"

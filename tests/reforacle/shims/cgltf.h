@@ -408,12 +408,17 @@ static inline cgltf_result cgltf_parse_file(const cgltf_options*,
   for (size_t i = 0; i < d->materials_count; ++i) {
     const JValue& m = jmats.arr[i];
     cgltf_material& out_m = d->materials[i];
-    // glTF 2.0 defaults: baseColorFactor (1,1,1,1), metallic 1, roughness 1
+    // baseColorFactor defaults to (1,1,1,1); metallic/roughness factors
+    // default to 0 — NOT the glTF 2.0 spec's 1.0 — matching the
+    // reference's vendored-cgltf-era behavior that its golden images
+    // embody (VALIDATION.md §4: with roughness=1 the chief renders
+    // +8..12/255 brighter/bluer than both goldens; with 0 it matches).
+    // The framework's own loader uses the same 0 default.
     out_m.has_pbr_metallic_roughness = m.has("pbrMetallicRoughness") ? 1 : 0;
     for (int k = 0; k < 4; ++k)
       out_m.pbr_metallic_roughness.base_color_factor[k] = 1.0f;
-    out_m.pbr_metallic_roughness.metallic_factor = 1.0f;
-    out_m.pbr_metallic_roughness.roughness_factor = 1.0f;
+    out_m.pbr_metallic_roughness.metallic_factor = 0.0f;
+    out_m.pbr_metallic_roughness.roughness_factor = 0.0f;
     if (out_m.has_pbr_metallic_roughness) {
       const JValue& pbr = m["pbrMetallicRoughness"];
       if (pbr.has("baseColorFactor"))

@@ -106,19 +106,58 @@ def main():
     # re-render error while albedo recovered
     chan_mask = np.zeros((1, 1, 1, 8), np.float32)
     chan_mask[..., 0:3] = 1.0
-    print("optimizing atlas (1200 steps, 16384 px/step, spb 32, ROI)...",
-          flush=True)
+
+    # Coarse-to-fine (VERDICT r3 #2): the r3 full-resolution-only run
+    # starved — each visible texel saw ~1 ray every few steps, so Adam
+    # updates were mostly MC noise and exact-MSE improved only 1.64x.
+    # A coarse delta grid aggregates every fine texel's gradient under
+    # it: at 32x32 each parameter collects ~256x the rays per step. The
+    # perturbation (x0.3+90) has its energy at low frequencies in render
+    # space, so the coarse stages recover most of the MSE; the full-res
+    # stage then refines texel detail from a near-converged start.
+    import jax.image
+
+    L, AH, AW, AC = true_atlas.shape
+    cfg_opt = dataclasses.replace(cfg, samples_per_pixel=32)
+    losses = []
+    cur = perturbed
     t0 = time.time()
-    opt, losses = inverse_render(
-        perturbed, target,
-        dataclasses.replace(cfg, samples_per_pixel=32),
-        n_steps=1200, pixels_per_step=16384, spb=32,
+    STAGES = [(32, 250, 3e-2), (128, 350, 1.5e-2)]
+    for res, steps, lr in STAGES:
+        base = jnp.asarray(np.asarray(cur.shade_atlas))
+
+        def transform(p, base=base):
+            up = jax.image.resize(
+                p["atlas_delta"], (L, AH, AW, AC), "bilinear"
+            )
+            return {"shade_atlas": jnp.clip(base + up, 0.0, 255.0)}
+
+        print(f"stage coarse {res} ({steps} steps, lr {lr})...", flush=True)
+        opt, ls = inverse_render(
+            cur, target, cfg_opt,
+            n_steps=steps, pixels_per_step=16384, spb=32,
+            learning_rate=lr, method="auto", seed=7 + res,
+            init_params={"atlas_delta": jnp.zeros((L, res, res, AC),
+                                                  jnp.float32)},
+            param_transform=transform,
+            lr_overrides={"atlas_delta": lr * 256.0},
+            grad_masks={"atlas_delta": chan_mask},
+            roi=ROI, loss_type="huber",
+            progress=True, log_every=100,
+        )
+        losses += ls
+        cur = opt
+    print("stage full-res (600 steps)...", flush=True)
+    opt, ls = inverse_render(
+        cur, target, cfg_opt,
+        n_steps=600, pixels_per_step=16384, spb=32,
         learning_rate=1e-2, method="auto", seed=7,
         trainable=("shade_atlas",),
         grad_masks={"shade_atlas": chan_mask},
         roi=ROI, loss_type="huber",
-        progress=True, log_every=200,
+        progress=True, log_every=100,
     )
+    losses += ls
     report["optimize_240p_s"] = round(time.time() - t0, 1)
     with open(os.path.join(ART, "losses_240p.json"), "w") as f:
         json.dump(losses, f)
@@ -150,7 +189,8 @@ def main():
         exact_mse_ratio=round(mse_pert / max(mse_opt, 1e-12), 2),
         exact_mse_full_perturbed=mse(r_pert, target),
         exact_mse_full_recovered=mse(r_opt, target),
-        pass_mse_improved=bool(mse_opt < 0.5 * mse_pert),
+        # the declared bar (VERDICT r3 #2): >= 10x exact-MSE improvement
+        pass_mse_improved=bool(mse_pert / max(mse_opt, 1e-12) >= 10.0),
     )
 
     def to_u8(x):
@@ -200,12 +240,16 @@ def main():
             mat_base_color=jnp.asarray(bc),
             mat_albedo_c0=jnp.asarray(ac0),
         )
+        # huber + more samples per pixel: the r3 run used plain MSE at
+        # spb 8 and the firefly-dominated gradient noise random-walked the
+        # factors (loss 0.0165 -> 0.0181); huber bounds each pixel's pull
         _, losses720 = inverse_render(
             pert720, golden.astype(np.float32) / 255.0, cfg720,
-            n_steps=200, pixels_per_step=16384, spb=8,
-            learning_rate=5e-3, method="auto", seed=11,
+            n_steps=300, pixels_per_step=8192, spb=16,
+            learning_rate=2e-3, method="auto", seed=11,
             trainable=("mat_base_color", "mat_metallic",
                        "mat_roughness", "mat_albedo_c0", "mat_albedo_c1"),
+            loss_type="huber",
             progress=True, log_every=50,
         )
         report["optimize_720p_s"] = round(time.time() - t0, 1)
