@@ -69,6 +69,20 @@ def _loss_fn(
         max_bounce=max_bounce,
         method=method,
     )
+    if loss_type == "linear_mse":
+        # UNBIASED objective: the linear sample mean estimates the true
+        # radiance for ANY spb, so the optimum sits exactly at the true
+        # parameters. The resolved-space losses below are biased at low
+        # spb (E[sqrt(mean_spb)] < sqrt(E) by Jensen, by a spb-dependent
+        # amount — so a loss resolved at spb=32 against a target resolved
+        # at 128 spp has its optimum AWAY from the true scene, flooring
+        # exact-MSE recovery). Firefly variance is the tradeoff; cap the
+        # residual's pull like huber but in linear space.
+        err = rad / spb - target_pixels
+        a = jnp.abs(err)
+        d = huber_delta
+        return jnp.mean(jnp.where(a <= d, 0.5 * err * err,
+                                  d * (a - 0.5 * d)))
     # gamma-2 resolve + clamp like color.h:30-39 (the reference clamps to
     # 0.999 before quantizing, and the target is an 8-bit image, so values
     # past the clamp are unobservable). The clamp doubles as firefly
@@ -308,12 +322,24 @@ def inverse_render(
     huber_delta: float = 0.1,
     init_params=None,
     param_transform=None,
+    crn_key=None,
 ):
     """Optimize scene params against ``target_image`` ([H,W,3] float 0..1).
 
     ``init_params``/``param_transform``: optimize in a reparameterized
     space — ``init_params`` is the starting dict and ``param_transform``
     maps it (differentiably) to scene-field arrays (see make_train_step).
+
+    ``crn_key``: common-random-numbers mode. When the target is OUR OWN
+    render (self-recovery experiments), pass its base PRNG key and set
+    ``spb`` to the target's full spp: every step then traces the exact
+    sample set the target used, so the Monte-Carlo noise cancels out of
+    the residual identically — at the true parameters the loss is
+    EXACTLY zero. This is correlated-sampling inverse rendering, the
+    standard variance-reduction for render-to-render optimization;
+    measured per-texel gradient SNR without it is ~0.03/step on the
+    flagship (noise 40x signal — unrecoverable in any practical step
+    count). Not applicable when the target is an external image.
 
     Returns (optimized SceneData, losses list).
 
@@ -374,7 +400,10 @@ def inverse_render(
         ids = sample_tile_ids(rng_np, W, H, pixels_per_step, roi=roi)
         ids_dev = jnp.asarray(ids)
         tgt = target_flat[ids_dev]
-        key, sub = jax.random.split(key)
+        if crn_key is not None:
+            sub = crn_key
+        else:
+            key, sub = jax.random.split(key)
         state, loss = step(state, scene, camera, ids_dev, tgt, sub)
         if param_ema:
             ema = state.params if ema is None else _ema_update(ema, state.params)

@@ -49,6 +49,11 @@ T_MIN_DEFAULT = 0.001  # reference main.cpp:39
 # the ray blocks, so ``auto`` falls over to the BVH traversal.
 PALLAS_RESIDENT_MAX_TRIS = 120_000
 
+# Per-call wavefront cap: the Pallas kernels scalar-prefetch a per-ray-block
+# worklist into SMEM (1 MiB); a 1M-ray wavefront's 2048-row list overflowed
+# it (measured). Bigger wavefronts are processed in slices.
+MAX_FIND_RAYS = 262_144
+
 
 class HitRecord(NamedTuple):
     """SoA hit record (reference hittable.h:9-22, arrays over rays)."""
@@ -221,15 +226,39 @@ def find_hit(scene, org, dir, time, t_min=None, method="auto"):
     """Dispatch hit finding.
 
     ``method``:
-      * ``auto`` — the clustered Pallas kernel on TPU, jnp brute force on CPU.
+      * ``auto`` — the clustered Pallas kernel on TPU, jnp brute force on
+        CPU; past the VMEM-resident triangle limit, the streamed
+        supercluster kernel (TPU) or the skip-link traversal (CPU).
       * ``pallas`` — the clustered Pallas kernel (interpret-mode on CPU).
       * ``pallas_nocull`` — same kernel with culling disabled (test aid).
       * ``pallas_mxu`` — the round-1 MXU matmul kernel (kept for comparison).
+      * ``streamed`` — the HBM-streaming supercluster kernel (big scenes).
       * ``bruteforce`` — tiled jnp scan.
-      * ``bvh`` — vmapped while-loop BVH traversal.
+      * ``bvh`` — stackless skip-link BVH traversal (correctness referee).
     """
+    R = org.shape[0]
+    if R > MAX_FIND_RAYS:
+        if t_min is None:
+            t_min = jnp.full((R,), T_MIN_DEFAULT)
+        elif jnp.ndim(t_min) == 0:
+            t_min = jnp.full((R,), t_min)
+        prims, ts = [], []
+        for i in range(0, R, MAX_FIND_RAYS):
+            j = min(i + MAX_FIND_RAYS, R)
+            p, t = find_hit(
+                scene, org[i:j], dir[i:j], time[i:j], t_min[i:j], method
+            )
+            prims.append(p)
+            ts.append(t)
+        return jnp.concatenate(prims), jnp.concatenate(ts)
     if method == "auto" and scene.tri_v0.shape[0] > PALLAS_RESIDENT_MAX_TRIS:
-        method = "bvh"  # measured crossover: see tools/profile_bigscene.py
+        from sexy_raytracer_tpu.ops.pallas_find import pallas_supported
+
+        method = "streamed" if pallas_supported() else "bvh"
+    if method == "streamed":
+        from sexy_raytracer_tpu.ops.pallas_find import find_hit_streamed
+
+        return find_hit_streamed(scene, org, dir, time, t_min)
     if method in ("auto", "pallas", "pallas_nocull"):
         from sexy_raytracer_tpu.ops.pallas_find import (
             find_hit_clustered,

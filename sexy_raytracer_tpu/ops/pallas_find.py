@@ -56,6 +56,12 @@ from sexy_raytracer_tpu.utils.mathx import EPSILON
 RAY_BLOCK = 512
 _BIG = 3.0e38
 
+# streamed big-scene path: clusters per supercluster (the HBM->VMEM DMA
+# granule). 16 clusters = 2048 triangles = 128 KB per fetch; SC grows for
+# huge scenes so the per-block supercluster worklist stays under SMEM.
+SUPER_CLUSTERS = 16
+MAX_SUPERS = 1024
+
 
 def pallas_supported() -> bool:
     try:
@@ -72,21 +78,8 @@ def _interpret() -> bool:
 # kernel
 # ---------------------------------------------------------------------------
 
-def _find_kernel(n_tris, n_sph, lists_ref, rays_ref, rays_t_ref, tri_ref,
-                 sph_ref, out_t_ref, out_i_ref):
-    """Grid (NB,).
-
-    lists_ref (SMEM prefetch) [NB, NC+1]: active count + cluster ids.
-    rays_ref   [BR, 8]  f32: ox oy oz dx dy dz time t_min
-    rays_t_ref [8, BR]  f32: the same, transposed (sphere path)
-    tri_ref    [NC, 16, CK] triangle plane/edge pack
-    sph_ref    [Spad, 8]: base xyz, delta xyz, radius, valid (columns)
-    out: [BR, 1] f32 best t, [BR, 1] int32 global prim id (-1 miss)
-    """
-    b = pl.program_id(0)
-    BR = rays_ref.shape[0]
-
-    # ---- spheres: [Spad sublanes, BR lanes] -----------------------------
+def _sphere_best(n_tris, n_sph, rays_t_ref, sph_ref, BR):
+    """Sphere closest-hit on the transposed ray block -> (t, id) [BR, 1]."""
     if n_sph > 0:
         rays_t = rays_t_ref[...]
         oxl, oyl, ozl = rays_t[0:1, :], rays_t[1:2, :], rays_t[2:3, :]
@@ -124,6 +117,58 @@ def _find_kernel(n_tris, n_sph, lists_ref, rays_ref, rays_t_ref, tri_ref,
     else:
         best_t0 = jnp.full((BR, 1), _BIG, jnp.float32)
         best_i0 = jnp.full((BR, 1), -1, jnp.int32)
+    return best_t0, best_i0
+
+
+def _tri_tile_best(tile, ox, oy, oz, dx, dy, dz, t_min, lane, base_id,
+                   best_t, best_i):
+    """One [16, CK] plane/edge tile against the ray block; shrink best."""
+    nx, ny, nz = tile[0:1, :], tile[1:2, :], tile[2:3, :]
+    d = tile[3:4, :]
+    ndir = dx * nx + dy * ny + dz * nz             # [BR, CK]
+    a_n = ox * nx + oy * ny + oz * nz + d
+    # back-face cull + parallel reject in one (model.h:119-123)
+    plane_ok = ndir <= -EPSILON
+    t = -a_n / jnp.where(plane_ok, ndir, -1.0)
+    px = ox + t * dx
+    py = oy + t * dy
+    pz = oz + t * dz
+    e0 = tile[4:5] * px + tile[5:6] * py + tile[6:7] * pz - tile[7:8]
+    e1 = tile[8:9] * px + tile[9:10] * py + tile[10:11] * pz - tile[11:12]
+    e2 = tile[12:13] * px + tile[13:14] * py + tile[14:15] * pz - tile[15:16]
+    valid = (
+        plane_ok
+        & (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+        & (t >= t_min)
+    )
+    tc = jnp.where(valid, t, _BIG)
+    tile_t = jnp.min(tc, axis=1, keepdims=True)    # [BR, 1]
+    win = jnp.min(
+        jnp.where(tc <= tile_t, base_id + lane, jnp.int32(2**30)),
+        axis=1, keepdims=True,
+    )
+    better = tile_t < best_t
+    return (
+        jnp.where(better, tile_t, best_t),
+        jnp.where(better, win, best_i),
+    )
+
+
+def _find_kernel(n_tris, n_sph, lists_ref, rays_ref, rays_t_ref, tri_ref,
+                 sph_ref, out_t_ref, out_i_ref):
+    """Grid (NB,).
+
+    lists_ref (SMEM prefetch) [NB, NC+1]: active count + cluster ids.
+    rays_ref   [BR, 8]  f32: ox oy oz dx dy dz time t_min
+    rays_t_ref [8, BR]  f32: the same, transposed (sphere path)
+    tri_ref    [NC, 16, CK] triangle plane/edge pack
+    sph_ref    [Spad, 8]: base xyz, delta xyz, radius, valid (columns)
+    out: [BR, 1] f32 best t, [BR, 1] int32 global prim id (-1 miss)
+    """
+    b = pl.program_id(0)
+    BR = rays_ref.shape[0]
+
+    best_t0, best_i0 = _sphere_best(n_tris, n_sph, rays_t_ref, sph_ref, BR)
 
     # ---- triangles: [BR sublanes, CK lanes], active clusters only -------
     n_clusters = tri_ref.shape[0]
@@ -135,37 +180,11 @@ def _find_kernel(n_tris, n_sph, lists_ref, rays_ref, rays_t_ref, tri_ref,
         lane = jax.lax.broadcasted_iota(jnp.int32, (BR, CLUSTER_SIZE), 1)
 
         def tri_tile(k, carry):
-            best_t, best_i = carry
             c = lists_ref[b, 1 + k]
-            tile = tri_ref[c]                  # [16, CK]
-            nx, ny, nz = tile[0:1, :], tile[1:2, :], tile[2:3, :]
-            d = tile[3:4, :]
-            ndir = dx * nx + dy * ny + dz * nz             # [BR, CK]
-            a_n = ox * nx + oy * ny + oz * nz + d
-            # back-face cull + parallel reject in one (model.h:119-123)
-            plane_ok = ndir <= -EPSILON
-            t = -a_n / jnp.where(plane_ok, ndir, -1.0)
-            px = ox + t * dx
-            py = oy + t * dy
-            pz = oz + t * dz
-            e0 = tile[4:5] * px + tile[5:6] * py + tile[6:7] * pz - tile[7:8]
-            e1 = tile[8:9] * px + tile[9:10] * py + tile[10:11] * pz - tile[11:12]
-            e2 = tile[12:13] * px + tile[13:14] * py + tile[14:15] * pz - tile[15:16]
-            valid = (
-                plane_ok
-                & (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
-                & (t >= t_min)
+            return _tri_tile_best(
+                tri_ref[c], ox, oy, oz, dx, dy, dz, t_min, lane,
+                c * CLUSTER_SIZE, *carry,
             )
-            tc = jnp.where(valid, t, _BIG)
-            tile_t = jnp.min(tc, axis=1, keepdims=True)    # [BR, 1]
-            win = jnp.min(
-                jnp.where(tc <= tile_t, c * CLUSTER_SIZE + lane, jnp.int32(2**30)),
-                axis=1, keepdims=True,
-            )
-            better = tile_t < best_t
-            best_t = jnp.where(better, tile_t, best_t)
-            best_i = jnp.where(better, win, best_i)
-            return best_t, best_i
 
         count = lists_ref[b, 0]
         init = (
@@ -521,6 +540,220 @@ def find_hit_clustered(scene, org, dir, time, t_min=None, cull=True):
         ],
         interpret=_interpret(),
     )(lists, rays, rays_t, tri_pack, sph_pack)
+
+    t = out_t.reshape(Rpad)[:R]
+    prim = out_i.reshape(Rpad)[:R]
+    t = jnp.where(prim >= 0, t, jnp.inf)
+    return prim, t
+
+
+# ---------------------------------------------------------------------------
+# streamed big-scene kernel (VERDICT r3 #4)
+# ---------------------------------------------------------------------------
+
+def _find_streamed_kernel(n_tris, n_sph, sc, use_dma, lists_ref, rays_ref,
+                          rays_t_ref, tri_ref, sph_ref, out_t_ref, out_i_ref,
+                          buf_ref, sems):
+    """Grid (NB,). Like ``_find_kernel`` but the triangle pack lives in
+    HBM as ``[NS, sc*16, CK]`` supercluster slabs; active superclusters are
+    double-buffer DMA'd into VMEM while the previous one is tested. The
+    per-block worklist culls SUPERclusters (sc clusters = sc*CK tris per
+    fetch), paid once per block — the same lockstep-divergence bargain as
+    the resident kernel, one level up.
+
+    buf_ref: VMEM [2, sc*16, CK] scratch; sems: DMA semaphores [2].
+    """
+    b = pl.program_id(0)
+    BR = rays_ref.shape[0]
+
+    best_t0, best_i0 = _sphere_best(n_tris, n_sph, rays_t_ref, sph_ref, BR)
+
+    count = lists_ref[b, 0]
+    rays = rays_ref[...]
+    ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
+    dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
+    t_min = rays[:, 7:8]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (BR, CLUSTER_SIZE), 1)
+
+    if use_dma:
+        def start_fetch(k):
+            sid = lists_ref[b, 1 + k]
+            slot = jax.lax.rem(k, 2)
+            pltpu.make_async_copy(
+                tri_ref.at[sid], buf_ref.at[slot], sems.at[slot]
+            ).start()
+
+        @pl.when(count > 0)
+        def _():
+            start_fetch(0)
+
+        def body(k, carry):
+            slot = jax.lax.rem(k, 2)
+
+            @pl.when(k + 1 < count)
+            def _():
+                start_fetch(k + 1)
+
+            sid = lists_ref[b, 1 + k]
+            pltpu.make_async_copy(
+                tri_ref.at[sid], buf_ref.at[slot], sems.at[slot]
+            ).wait()
+
+            # rolled inner loop: unrolling all sc cluster tests kept
+            # every tile's intermediates live at once and blew the 16 MiB
+            # scoped-VMEM budget at 304k tris (measured +900K over)
+            def inner(c, carry2):
+                tile = buf_ref[slot, pl.ds(c * 16, 16), :]
+                return _tri_tile_best(
+                    tile, ox, oy, oz, dx, dy, dz, t_min, lane,
+                    (sid * sc + c) * CLUSTER_SIZE, *carry2,
+                )
+
+            return jax.lax.fori_loop(0, sc, inner, carry)
+    else:
+        # interpret mode (CPU tests): direct indexing, no DMA mechanics
+        def body(k, carry):
+            sid = lists_ref[b, 1 + k]
+            slab = tri_ref[sid]
+
+            def inner(c, carry2):
+                tile = jax.lax.dynamic_slice_in_dim(slab, c * 16, 16, 0)
+                return _tri_tile_best(
+                    tile, ox, oy, oz, dx, dy, dz, t_min, lane,
+                    (sid * sc + c) * CLUSTER_SIZE, *carry2,
+                )
+
+            return jax.lax.fori_loop(0, sc, inner, carry)
+
+    init = (
+        jnp.full((BR, 1), _BIG, jnp.float32),
+        jnp.full((BR, 1), -1, jnp.int32),
+    )
+    tri_t, tri_i = jax.lax.fori_loop(0, count, body, init)
+    better = tri_t < best_t0
+    best_t0 = jnp.where(better, tri_t, best_t0)
+    best_i0 = jnp.where(better, tri_i, best_i0)
+
+    out_t_ref[...] = best_t0
+    out_i_ref[...] = jnp.where(best_t0 < _BIG, best_i0, -1)
+
+
+def find_hit_streamed(scene, org, dir, time, t_min=None):
+    """Closest hit for scenes past the VMEM-resident limit.
+
+    Triangle pack stays in HBM as supercluster slabs (``SUPER_CLUSTERS``
+    consecutive spatial clusters, 128 KB each); the XLA prologue culls
+    superclusters per ray block (interval cull over supercluster AABBs)
+    and the kernel streams only the survivors through a double-buffered
+    VMEM window. Replaces the skip-link traversal as the production
+    big-scene path (36-50x slower, VERDICT r3 weak #2); the traversal
+    stays as a correctness referee.
+    """
+    from sexy_raytracer_tpu.ops.intersect import T_MIN_DEFAULT
+
+    R = org.shape[0]
+    if t_min is None:
+        t_min = jnp.full((R,), T_MIN_DEFAULT, jnp.float32)
+    elif jnp.ndim(t_min) == 0:
+        t_min = jnp.full((R,), t_min, jnp.float32)
+
+    org = jax.lax.stop_gradient(org)
+    dir = jax.lax.stop_gradient(dir)
+    time = jax.lax.stop_gradient(time)
+    t_min = jax.lax.stop_gradient(t_min)
+
+    T = scene.tri_v0.shape[0]
+    S = scene.sph_c0.shape[0]
+    nb = -(-R // RAY_BLOCK)
+    Rpad = nb * RAY_BLOCK
+
+    rays = jnp.concatenate(
+        [org, dir, time[:, None], t_min[:, None]], axis=1
+    ).astype(jnp.float32)
+    if Rpad != R:
+        pad = jnp.zeros((Rpad - R, 8), jnp.float32).at[:, 7].set(_BIG)
+        rays = jnp.concatenate([rays, pad], axis=0)
+    rays_t = rays.T
+
+    tri_pack, nc = _pack_triangles(scene)        # [NC, 16, CK]
+    sc = SUPER_CLUSTERS
+    while -(-nc // sc) > MAX_SUPERS:
+        sc *= 2
+    ns = -(-nc // sc)
+    pad_c = ns * sc - nc
+    if pad_c:
+        tri_pack = jnp.pad(tri_pack, ((0, pad_c), (0, 0), (0, 0)))
+    tri_hbm = tri_pack.reshape(ns, sc * 16, CLUSTER_SIZE)
+
+    # supercluster bounds from the cluster bounds (consecutive groups)
+    if scene.cluster_min.shape[0] == nc:
+        cmin = jax.lax.stop_gradient(scene.cluster_min)
+        cmax = jax.lax.stop_gradient(scene.cluster_max)
+    else:  # scene built without cluster metadata: derive on device
+        from sexy_raytracer_tpu.models.clusters import cluster_bounds_device
+
+        cmin, cmax = cluster_bounds_device(
+            scene.tri_v0, scene.tri_v1, scene.tri_v2
+        )
+        cmin = jax.lax.stop_gradient(cmin)
+        cmax = jax.lax.stop_gradient(cmax)
+    if pad_c:
+        cmin = jnp.pad(cmin, ((0, pad_c), (0, 0)), constant_values=_BIG)
+        cmax = jnp.pad(cmax, ((0, pad_c), (0, 0)), constant_values=-_BIG)
+    smin = cmin.reshape(ns, sc, 3).min(axis=1)
+    smax = cmax.reshape(ns, sc, 3).max(axis=1)
+
+    if S > 0:
+        from sexy_raytracer_tpu.ops.intersect import _sph_candidates
+
+        sph_bound, _ = _sph_candidates(scene, org, dir, time, t_min)
+    else:
+        sph_bound = None
+    with jax.named_scope("super_lists"):
+        lists = cluster_lists_block(org, dir, t_min, smin, smax,
+                                    t_max=sph_bound)
+
+    sph_pack = (
+        _pack_spheres(scene) if S > 0 else jnp.zeros((8, 8), jnp.float32)
+    )
+    spad = sph_pack.shape[0]
+    interp = _interpret()
+
+    kernel = functools.partial(
+        _find_streamed_kernel, T, S, sc, not interp
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((RAY_BLOCK, 8), lambda b, s: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, RAY_BLOCK), lambda b, s: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # tri slabs stay in HBM
+            pl.BlockSpec((spad, 8), lambda b, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((RAY_BLOCK, 1), lambda b, s: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, 1), lambda b, s: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, sc * 16, CLUSTER_SIZE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out_t, out_i = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((Rpad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Rpad, 1), jnp.int32),
+        ],
+        interpret=interp,
+    )(lists, rays, rays_t, tri_hbm, sph_pack)
 
     t = out_t.reshape(Rpad)[:R]
     prim = out_i.reshape(Rpad)[:R]

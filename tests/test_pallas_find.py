@@ -159,7 +159,8 @@ def test_block_cull_dead_lanes(chief_scene, rng_np):
 
 def test_find_hit_auto_dispatches_bvh_for_large_scenes(rng_np, monkeypatch):
     """method='auto' must route past the VMEM-resident kernel once the
-    triangle pack cannot fit (PALLAS_RESIDENT_MAX_TRIS)."""
+    triangle pack cannot fit (PALLAS_RESIDENT_MAX_TRIS); on CPU the route
+    is the skip-link traversal (the streamed kernel needs real DMA)."""
     from sexy_raytracer_tpu.ops import intersect
 
     calls = {}
@@ -179,6 +180,32 @@ def test_find_hit_auto_dispatches_bvh_for_large_scenes(rng_np, monkeypatch):
     org, dirs, times = _random_rays(rng_np, 64)
     intersect.find_hit(scene, org, dirs, times, method="auto")
     assert calls.get("bvh")
+
+
+def test_streamed_kernel_matches_bruteforce(rng_np):
+    """The HBM-streaming supercluster kernel (big-scene production path,
+    ops/pallas_find.find_hit_streamed) returns exactly the bruteforce
+    winners on a multi-supercluster triangle soup + sphere scene."""
+    T = 9000  # ~70 clusters -> several 16-cluster superclusters
+    c = rng_np.uniform(-8, 8, (T, 3))
+    v0 = c + rng_np.normal(0, 0.15, (T, 3))
+    v1 = c + rng_np.normal(0, 0.15, (T, 3))
+    v2 = c + rng_np.normal(0, 0.15, (T, 3))
+    b = SceneBuilder()
+    m = b.add_pbr_material(base_color=(0.5, 0.5, 0.5, 1.0))
+    idx = np.stack([np.arange(T), np.arange(T) + T, np.arange(T) + 2 * T], 1)
+    b.add_mesh(np.concatenate([v0, v1, v2]), None, idx, m)
+    b.add_sphere((0, 0, -14), 2.0, m)
+    scene = b.build(build_bvh=False)
+
+    org, dirs, times = _random_rays(rng_np, 1024, spread=8.0)
+    p_ref, t_ref = find_hit_bruteforce(scene, org, dirs, times)
+    p_str, t_str = find_hit(scene, org, dirs, times, method="streamed")
+    np.testing.assert_array_equal(np.asarray(p_ref), np.asarray(p_str))
+    hit = np.asarray(p_ref) >= 0
+    np.testing.assert_allclose(
+        np.asarray(t_ref)[hit], np.asarray(t_str)[hit], rtol=1e-5, atol=1e-4
+    )
 
 
 # ---------------------------------------------------------------------------
