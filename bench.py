@@ -106,6 +106,29 @@ def main():
     scene, cfg = presets.masterchief()
     camera = Camera.from_config(cfg.camera, cfg.aspect)
 
+    # TPU-hardware kernel parity gate (VERDICT r3 #6): the production
+    # Pallas find kernel must return exactly the bruteforce winners on a
+    # fuzz wavefront ON THE REAL CHIP before any number is recorded —
+    # CPU CI only exercises it in interpret mode.
+    from sexy_raytracer_tpu.ops.intersect import find_hit, find_hit_bruteforce
+
+    rng_fuzz = np.random.default_rng(42)
+    fo = jnp.asarray(rng_fuzz.normal(0, 3.0, (4096, 3)), jnp.float32)
+    fd = rng_fuzz.normal(size=(4096, 3))
+    fd /= np.linalg.norm(fd, axis=1, keepdims=True)
+    fd = jnp.asarray(fd, jnp.float32)
+    ft = jnp.asarray(rng_fuzz.uniform(0, 1, 4096), jnp.float32)
+    p_k, _ = jax.jit(lambda o, d, t: find_hit(scene, o, d, t, method="pallas"))(fo, fd, ft)
+    p_b, _ = jax.jit(lambda o, d, t: find_hit(scene, o, d, t, method="bruteforce"))(fo, fd, ft)
+    mism = int(jnp.sum(p_k != p_b))
+    if mism:
+        print(json.dumps({
+            "metric": "mrays_per_s_per_chip_fwd_bwd_720p_masterchief",
+            "value": 0.0, "unit": "Mrays/s/chip", "vs_baseline": 0.0,
+            "error": f"kernel parity FAILED: {mism}/4096 prim mismatches",
+        }))
+        return 1
+
     mesh = make_mesh()  # all local devices on the ray axis
     n_dev = len(jax.devices())
 

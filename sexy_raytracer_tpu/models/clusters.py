@@ -22,7 +22,7 @@ CLUSTER_SIZE = 128
 _BIG = 3.0e38
 
 
-def cluster_bounds_device(tri_v0, tri_v1, tri_v2, ck: int = CLUSTER_SIZE):
+def cluster_bounds_device(tri_v0, tri_v1, tri_v2, ck=None):
     """Re-derive cluster AABBs on device from (possibly trained) vertices.
 
     The cluster partition is static — cluster ``c`` covers scene-order
@@ -32,6 +32,8 @@ def cluster_bounds_device(tri_v0, tri_v1, tri_v2, ck: int = CLUSTER_SIZE):
     trained geometry against stale host-built AABBs and silently drops
     hits. Flat axes are padded +-1e-4 like the host path (model.h:199-204).
     """
+    if ck is None:
+        ck = CLUSTER_SIZE
     T = tri_v0.shape[0]
     if T == 0:
         return jnp.zeros((0, 3), jnp.float32), jnp.zeros((0, 3), jnp.float32)
@@ -74,7 +76,7 @@ def dfs_order(pmin: np.ndarray, pmax: np.ndarray) -> np.ndarray:
     return out.astype(np.int32)
 
 
-def triangle_order(tri_v0, tri_v1, tri_v2, ck: int = CLUSTER_SIZE):
+def triangle_order(tri_v0, tri_v1, tri_v2, ck=None):
     """Spatial permutation + cluster AABBs for the kernel tiles.
 
     Returns ``(order [T], cluster_min [NC,3], cluster_max [NC,3])`` where
@@ -83,6 +85,8 @@ def triangle_order(tri_v0, tri_v1, tri_v2, ck: int = CLUSTER_SIZE):
     Triangle AABBs are padded +-1e-4 on flat axes like the reference
     (model.h:199-204) so the slab test can't miss axis-aligned geometry.
     """
+    if ck is None:
+        ck = CLUSTER_SIZE
     v0 = np.asarray(tri_v0, np.float64)
     v1 = np.asarray(tri_v1, np.float64)
     v2 = np.asarray(tri_v2, np.float64)

@@ -53,7 +53,12 @@ from jax.experimental.pallas import tpu as pltpu
 from sexy_raytracer_tpu.models.clusters import CLUSTER_SIZE
 from sexy_raytracer_tpu.utils.mathx import EPSILON
 
-RAY_BLOCK = 512
+RAY_BLOCK = 128   # finer blocks cull tighter: 512 -> 128 measured the
+                  # flagship train step 46.3 -> 37.3 ms (parity-gated);
+                  # 64 is below the 128-lane minimum of the transposed
+                  # ray block. Doubled adaptively when the per-block
+                  # worklist would overflow the SMEM prefetch budget.
+WORKLIST_BYTES_MAX = 640 * 1024
 _BIG = 3.0e38
 
 # streamed big-scene path: clusters per supercluster (the HBM->VMEM DMA
@@ -261,7 +266,7 @@ PER_RAY_CULL_MAX_CLUSTERS = 512
 
 
 def cluster_lists(org, dir, t_min, cmin, cmax, t_max=None,
-                  ray_block=RAY_BLOCK):
+                  ray_block=None):
     """Compacted per-block active-cluster lists [NB, NC+1] int32.
 
     Row b = [count, active cluster ids front-to-back, junk...]. A cluster
@@ -278,6 +283,8 @@ def cluster_lists(org, dir, t_min, cmin, cmax, t_max=None,
     test; past ``PER_RAY_CULL_MAX_CLUSTERS`` the blowup-free per-block
     interval cull (``cluster_lists_block``) takes over.
     """
+    if ray_block is None:
+        ray_block = RAY_BLOCK
     if cmin.shape[0] > PER_RAY_CULL_MAX_CLUSTERS:
         return cluster_lists_block(org, dir, t_min, cmin, cmax,
                                    t_max=t_max, ray_block=ray_block)
@@ -314,7 +321,7 @@ def cluster_lists(org, dir, t_min, cmin, cmax, t_max=None,
 
 
 def cluster_lists_block(org, dir, t_min, cmin, cmax, t_max=None,
-                        ray_block=RAY_BLOCK):
+                        ray_block=None):
     """Per-block *interval* cull: O(NB x NC), no per-ray blowup.
 
     Each ray block is summarized by its origin AABB, per-component
@@ -327,6 +334,8 @@ def cluster_lists_block(org, dir, t_min, cmin, cmax, t_max=None,
     lockstep blocks (the role BVH upper levels play in the reference,
     bvh.h:97-105).
     """
+    if ray_block is None:
+        ray_block = RAY_BLOCK
     R = org.shape[0]
     NC = cmin.shape[0]
     nb = -(-R // ray_block)
@@ -466,8 +475,12 @@ def find_hit_clustered(scene, org, dir, time, t_min=None, cull=True):
 
     T = scene.tri_v0.shape[0]
     S = scene.sph_c0.shape[0]
-    nb = -(-R // RAY_BLOCK)
-    Rpad = nb * RAY_BLOCK
+    nc_est = -(-T // CLUSTER_SIZE)
+    rb = RAY_BLOCK
+    while (-(-R // rb)) * (nc_est + 1) * 4 > WORKLIST_BYTES_MAX:
+        rb *= 2
+    nb = -(-R // rb)
+    Rpad = nb * rb
 
     rays = jnp.concatenate(
         [org, dir, time[:, None], t_min[:, None]], axis=1
@@ -493,7 +506,7 @@ def find_hit_clustered(scene, org, dir, time, t_min=None, cull=True):
                     org, dir, t_min,
                     jax.lax.stop_gradient(scene.cluster_min),
                     jax.lax.stop_gradient(scene.cluster_max),
-                    t_max=sph_bound,
+                    t_max=sph_bound, ray_block=rb,
                 )
         else:
             ids = jnp.broadcast_to(jnp.arange(nc, dtype=jnp.int32), (nb, nc))
@@ -515,9 +528,9 @@ def find_hit_clustered(scene, org, dir, time, t_min=None, cull=True):
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((RAY_BLOCK, 8), lambda b, s: (b, 0),
+            pl.BlockSpec((rb, 8), lambda b, s: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, RAY_BLOCK), lambda b, s: (0, b),
+            pl.BlockSpec((8, rb), lambda b, s: (0, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((max(nc, 1), 16, CLUSTER_SIZE),
                          lambda b, s: (0, 0, 0), memory_space=pltpu.VMEM),
@@ -525,9 +538,9 @@ def find_hit_clustered(scene, org, dir, time, t_min=None, cull=True):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((RAY_BLOCK, 1), lambda b, s: (b, 0),
+            pl.BlockSpec((rb, 1), lambda b, s: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_BLOCK, 1), lambda b, s: (b, 0),
+            pl.BlockSpec((rb, 1), lambda b, s: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -664,8 +677,14 @@ def find_hit_streamed(scene, org, dir, time, t_min=None):
 
     T = scene.tri_v0.shape[0]
     S = scene.sph_c0.shape[0]
-    nb = -(-R // RAY_BLOCK)
-    Rpad = nb * RAY_BLOCK
+    # streamed path uses coarser blocks: its per-block work unit is a
+    # whole supercluster fetch, and its worklist rows are NS wide
+    rb = max(RAY_BLOCK, 512)
+    ns_est = min(MAX_SUPERS, -(-(-(-T // CLUSTER_SIZE)) // SUPER_CLUSTERS))
+    while (-(-R // rb)) * (ns_est + 1) * 4 > WORKLIST_BYTES_MAX:
+        rb *= 2
+    nb = -(-R // rb)
+    Rpad = nb * rb
 
     rays = jnp.concatenate(
         [org, dir, time[:, None], t_min[:, None]], axis=1
@@ -711,7 +730,7 @@ def find_hit_streamed(scene, org, dir, time, t_min=None):
         sph_bound = None
     with jax.named_scope("super_lists"):
         lists = cluster_lists_block(org, dir, t_min, smin, smax,
-                                    t_max=sph_bound)
+                                    t_max=sph_bound, ray_block=rb)
 
     sph_pack = (
         _pack_spheres(scene) if S > 0 else jnp.zeros((8, 8), jnp.float32)
@@ -726,18 +745,18 @@ def find_hit_streamed(scene, org, dir, time, t_min=None):
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((RAY_BLOCK, 8), lambda b, s: (b, 0),
+            pl.BlockSpec((rb, 8), lambda b, s: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, RAY_BLOCK), lambda b, s: (0, b),
+            pl.BlockSpec((8, rb), lambda b, s: (0, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),   # tri slabs stay in HBM
             pl.BlockSpec((spad, 8), lambda b, s: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((RAY_BLOCK, 1), lambda b, s: (b, 0),
+            pl.BlockSpec((rb, 1), lambda b, s: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_BLOCK, 1), lambda b, s: (b, 0),
+            pl.BlockSpec((rb, 1), lambda b, s: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[

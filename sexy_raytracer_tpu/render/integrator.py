@@ -223,6 +223,13 @@ def trace_rays_fused(
             axis=1,
         )  # [S, 10]
     mat_f, mat_i = material_packs(scene)
+    # ONE combined material-row gather per bounce: int rows ride the float
+    # table as raw bits (same trick as the tri pack's mat column) — halves
+    # the per-bounce gather count in forward AND backward recompute
+    mat_all = jnp.concatenate(
+        [mat_f, jax.lax.bitcast_convert_type(mat_i, jnp.float32)], axis=1
+    )  # [M, 30 + 9]
+    n_matf = mat_f.shape[1]
     atlas2d = scene.shade_atlas.reshape(L * H, W, C)
 
     # -- per-bounce randomness for ALL bounces, outside the remat --
@@ -324,8 +331,11 @@ def trace_rays_fused(
         mat_id = jnp.where(
             is_tri, tri_mat, jnp.where(is_sph, sph_mat, 0)
         )
-        gf = table_lookup(mat_f, mat_id)
-        gi = table_lookup(mat_i, mat_id)
+        gall = table_lookup(mat_all, mat_id)
+        gf = gall[:, :n_matf]
+        gi = jax.lax.bitcast_convert_type(
+            jax.lax.stop_gradient(gall[:, n_matf:]), jnp.int32
+        )
 
         # atlas texel fetch at the hit uv (ops/shade._sample_pack). The
         # kernel emits the triangle uv; sphere lanes get the spherical uv
