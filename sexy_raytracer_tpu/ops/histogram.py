@@ -49,7 +49,7 @@ CH = 512    # baseline entries per worklist chunk (direct path)
 # is 1 MiB and Mosaic rejects larger prefetch operands (measured: a
 # 524k-entry call with CH=512 built a 1.18 MB worklist and failed to
 # compile). CH doubles until the worklist fits.
-WORKLIST_BYTES_MAX = 640 * 1024
+WORKLIST_BYTES_MAX = 320 * 1024
 
 
 def _interpret() -> bool:

@@ -58,7 +58,12 @@ RAY_BLOCK = 128   # finer blocks cull tighter: 512 -> 128 measured the
                   # 64 is below the 128-lane minimum of the transposed
                   # ray block. Doubled adaptively when the per-block
                   # worklist would overflow the SMEM prefetch budget.
-WORKLIST_BYTES_MAX = 640 * 1024
+# Per-CALL worklist budget. Deliberately far below the 1 MiB SMEM: XLA
+# may co-schedule several find slices (MAX_FIND_RAYS splitting) plus the
+# histogram kernels' worklists in one program, and their scoped SMEM
+# allocations overlap (measured: a 1M-ray train step ran 1.1 KB over the
+# 1 MiB space with a 640 KB budget here).
+WORKLIST_BYTES_MAX = 128 * 1024
 _BIG = 3.0e38
 
 # streamed big-scene path: clusters per supercluster (the HBM->VMEM DMA

@@ -122,11 +122,11 @@ def main():
 
     cfg_opt = dataclasses.replace(cfg, samples_per_pixel=128)
     t0 = time.time()
-    print("optimizing atlas (CRN, 500 steps, 8192 px/step, spb 128)...",
+    print("optimizing atlas (CRN, 900 steps, 8192 px/step, spb 128)...",
           flush=True)
     opt, losses = inverse_render(
         perturbed, target, cfg_opt,
-        n_steps=500, pixels_per_step=8192, spb=128,
+        n_steps=900, pixels_per_step=8192, spb=128,
         learning_rate=1e-2, method="auto", seed=7,
         trainable=("shade_atlas",),
         grad_masks={"shade_atlas": chan_mask},
