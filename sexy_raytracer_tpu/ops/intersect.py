@@ -222,7 +222,8 @@ def find_hit_bruteforce(scene, org, dir, time, t_min=None, tri_tile=512):
     return jax.lax.stop_gradient(prim), jax.lax.stop_gradient(t)
 
 
-def find_hit(scene, org, dir, time, t_min=None, method="auto"):
+def find_hit(scene, org, dir, time, t_min=None, method="auto",
+             smem_budget=None):
     """Dispatch hit finding.
 
     ``method``:
@@ -242,11 +243,18 @@ def find_hit(scene, org, dir, time, t_min=None, method="auto"):
             t_min = jnp.full((R,), T_MIN_DEFAULT)
         elif jnp.ndim(t_min) == 0:
             t_min = jnp.full((R,), t_min)
+        # XLA overlaps the slices' scoped SMEM worklists in one program:
+        # divide the budget so their sum stays within the space
+        n_slices = -(-R // MAX_FIND_RAYS)
+        from sexy_raytracer_tpu.ops.pallas_find import WORKLIST_BYTES_MAX
+
+        budget = max(WORKLIST_BYTES_MAX // n_slices, 64 * 1024)
         prims, ts = [], []
         for i in range(0, R, MAX_FIND_RAYS):
             j = min(i + MAX_FIND_RAYS, R)
             p, t = find_hit(
-                scene, org[i:j], dir[i:j], time[i:j], t_min[i:j], method
+                scene, org[i:j], dir[i:j], time[i:j], t_min[i:j], method,
+                smem_budget=budget,
             )
             prims.append(p)
             ts.append(t)
@@ -258,7 +266,8 @@ def find_hit(scene, org, dir, time, t_min=None, method="auto"):
     if method == "streamed":
         from sexy_raytracer_tpu.ops.pallas_find import find_hit_streamed
 
-        return find_hit_streamed(scene, org, dir, time, t_min)
+        return find_hit_streamed(scene, org, dir, time, t_min,
+                                 smem_budget=smem_budget)
     if method in ("auto", "pallas", "pallas_nocull"):
         from sexy_raytracer_tpu.ops.pallas_find import (
             find_hit_clustered,
@@ -267,7 +276,8 @@ def find_hit(scene, org, dir, time, t_min=None, method="auto"):
 
         if method != "auto" or pallas_supported():
             return find_hit_clustered(
-                scene, org, dir, time, t_min, cull=(method != "pallas_nocull")
+                scene, org, dir, time, t_min,
+                cull=(method != "pallas_nocull"), smem_budget=smem_budget,
             )
         method = "bruteforce"
     if method == "pallas_mxu":

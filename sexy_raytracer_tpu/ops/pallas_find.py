@@ -58,12 +58,12 @@ RAY_BLOCK = 128   # finer blocks cull tighter: 512 -> 128 measured the
                   # 64 is below the 128-lane minimum of the transposed
                   # ray block. Doubled adaptively when the per-block
                   # worklist would overflow the SMEM prefetch budget.
-# Per-CALL worklist budget. Deliberately far below the 1 MiB SMEM: XLA
-# may co-schedule several find slices (MAX_FIND_RAYS splitting) plus the
-# histogram kernels' worklists in one program, and their scoped SMEM
-# allocations overlap (measured: a 1M-ray train step ran 1.1 KB over the
-# 1 MiB space with a 640 KB budget here).
-WORKLIST_BYTES_MAX = 128 * 1024
+# Default per-call worklist budget (v5e SMEM is 1 MiB). When one program
+# holds SEVERAL find calls (ops/intersect.find_hit slices wavefronts past
+# MAX_FIND_RAYS), XLA overlaps their scoped SMEM allocations with the
+# histogram worklists (measured: a 1M-ray train step ran 1.1 KB over with
+# 640 KB here) — the splitter passes smem_budget = this / n_slices.
+WORKLIST_BYTES_MAX = 512 * 1024
 _BIG = 3.0e38
 
 # streamed big-scene path: clusters per supercluster (the HBM->VMEM DMA
@@ -457,7 +457,8 @@ def cluster_lists_block(org, dir, t_min, cmin, cmax, t_max=None,
 # entry point
 # ---------------------------------------------------------------------------
 
-def find_hit_clustered(scene, org, dir, time, t_min=None, cull=True):
+def find_hit_clustered(scene, org, dir, time, t_min=None, cull=True,
+                       smem_budget=None):
     """Closest hit for a ray wavefront. Returns (prim [R] int32, t [R]).
 
     ``prim``: global primitive id (triangles then spheres), -1 = miss.
@@ -480,9 +481,11 @@ def find_hit_clustered(scene, org, dir, time, t_min=None, cull=True):
 
     T = scene.tri_v0.shape[0]
     S = scene.sph_c0.shape[0]
+    if smem_budget is None:
+        smem_budget = WORKLIST_BYTES_MAX
     nc_est = -(-T // CLUSTER_SIZE)
     rb = RAY_BLOCK
-    while (-(-R // rb)) * (nc_est + 1) * 4 > WORKLIST_BYTES_MAX:
+    while (-(-R // rb)) * (nc_est + 1) * 4 > smem_budget:
         rb *= 2
     nb = -(-R // rb)
     Rpad = nb * rb
@@ -656,7 +659,8 @@ def _find_streamed_kernel(n_tris, n_sph, sc, use_dma, lists_ref, rays_ref,
     out_i_ref[...] = jnp.where(best_t0 < _BIG, best_i0, -1)
 
 
-def find_hit_streamed(scene, org, dir, time, t_min=None):
+def find_hit_streamed(scene, org, dir, time, t_min=None,
+                      smem_budget=None):
     """Closest hit for scenes past the VMEM-resident limit.
 
     Triangle pack stays in HBM as supercluster slabs (``SUPER_CLUSTERS``
@@ -684,9 +688,11 @@ def find_hit_streamed(scene, org, dir, time, t_min=None):
     S = scene.sph_c0.shape[0]
     # streamed path uses coarser blocks: its per-block work unit is a
     # whole supercluster fetch, and its worklist rows are NS wide
+    if smem_budget is None:
+        smem_budget = WORKLIST_BYTES_MAX
     rb = max(RAY_BLOCK, 512)
     ns_est = min(MAX_SUPERS, -(-(-(-T // CLUSTER_SIZE)) // SUPER_CLUSTERS))
-    while (-(-R // rb)) * (ns_est + 1) * 4 > WORKLIST_BYTES_MAX:
+    while (-(-R // rb)) * (ns_est + 1) * 4 > smem_budget:
         rb *= 2
     nb = -(-R // rb)
     Rpad = nb * rb

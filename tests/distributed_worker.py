@@ -73,6 +73,23 @@ def main() -> int:
     n_dev = len(jax.devices())
     mesh = make_mesh(n_rays=n_dev // 2, n_samples=2)
     n_ray_shards = mesh.shape[RAY_AXIS]
+
+    # cheap warm-up collective FIRST: it compiles in seconds, so both
+    # processes align here before the minutes-long train-step compile —
+    # otherwise the faster process reaches the first real collective
+    # while the other is still compiling and Gloo's 30 s key-value
+    # exchange times out (observed under CPU contention)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    probe = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P(RAY_AXIS)),
+        np.full((2,), 1.0, np.float32),
+    )
+    total = jax.jit(
+        lambda a: jnp.sum(a), out_shardings=NamedSharding(mesh, P())
+    )(probe)
+    assert float(total) == float(nproc * 2)
+
     scene_r = replicate_scene(scene, mesh)
 
     # global batch, identical in every process; each feeds its local slice
