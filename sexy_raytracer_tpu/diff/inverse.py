@@ -69,6 +69,25 @@ def _loss_fn(
         max_bounce=max_bounce,
         method=method,
     )
+    if loss_type == "tile_linear":
+        # Tile-averaged UNBIASED linear loss for stochastic-target
+        # (non-CRN) recovery: the residual is averaged over each
+        # 128-pixel sample tile BEFORE squaring, so Monte-Carlo noise
+        # averages down ~11x while smooth perturbation signal survives —
+        # the per-pixel resolved loss's noise floor (~0.017 at spb 32)
+        # drowned a 7e-4 perturbation signal entirely (round-5 phase-1b
+        # failure). Linear space keeps the optimum exactly at the true
+        # parameters (no resolve-bias); huber caps tile-mean fireflies.
+        # ``target_pixels`` must be LINEAR radiance (target_lin / spp).
+        G = 128  # sample_tile_ids tile size (16 x 8)
+        n = rad.shape[0] // G
+        r_t = (rad / spb).reshape(n, G, 3).mean(axis=1)
+        t_t = target_pixels.reshape(n, G, 3).mean(axis=1)
+        err = r_t - t_t
+        a = jnp.abs(err)
+        d = huber_delta
+        return jnp.mean(jnp.where(a <= d, 0.5 * err * err,
+                                  d * (a - 0.5 * d)))
     if loss_type == "linear_mse":
         # UNBIASED objective: the linear sample mean estimates the true
         # radiance for ANY spb, so the optimum sits exactly at the true
@@ -202,7 +221,13 @@ def make_train_step(
         width=config.width,
         height=config.height,
         spb=spb,
-        spp_total=config.samples_per_pixel,
+        # Training always wants every traced sample: the loss divides by
+        # spb, so masking samples with sid >= config.samples_per_pixel
+        # (renderer.py's overshoot guard for the *rendering* driver) would
+        # silently bias the estimate dark whenever spb * n_sample_shards
+        # exceeds the config's spp (ADVICE r4 medium). The sample-shard
+        # offsets run to spb * n_shards, so that is the training spp.
+        spp_total=spb * mesh.shape[SAMPLE_AXIS],
         max_bounce=config.max_bounce,
         method=method,
         loss_type=loss_type,

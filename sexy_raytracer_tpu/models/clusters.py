@@ -15,10 +15,17 @@ vector machine: instead of a per-ray stack over single-primitive leaves
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 
-CLUSTER_SIZE = 128
+# triangles per cluster tile (lane width of the find kernel's tile test);
+# env override for perf experiments (tools/diag_r5.py sweeps).
+# 256 measured faster than 128 on the flagship train step (25.4 -> 24.1 ms
+# device) and frame finds (25.5 -> 19.0 ms with the early-out loop): fewer
+# loop iterations/reductions beat the finer culls (round-5 diag).
+CLUSTER_SIZE = int(os.environ.get("SRT_CLUSTER_SIZE", "256"))
 _BIG = 3.0e38
 
 

@@ -310,8 +310,97 @@ def scene_gltf(data_dir: str | None = None, spp: int = 64, height: int = 480):
     return scene, cfg
 
 
+def _lcg_stream(seed: int):
+    """The reforacle driver's deterministic 64-bit LCG (driver.cpp).
+
+    Bit-identical to the C++: next state = state * 6364136223846793005 +
+    1442695040888963407 (mod 2^64); value = top 24 bits / 2^24, exact in
+    f32. This makes the Shirley field *data* shared by both renderers —
+    the reference's commented branch (main.cpp:92-122) consumed the global
+    mt19937, whose libstdc++ float mapping is not reproducible from here.
+    """
+    state = seed & 0xFFFFFFFFFFFFFFFF
+
+    def nxt() -> np.float32:
+        nonlocal state
+        state = (state * 6364136223846793005 + 1442695040888963407) \
+            & 0xFFFFFFFFFFFFFFFF
+        return np.float32(state >> 40) / np.float32(16777216.0)
+
+    return nxt
+
+
+def shirley_parity(seed: int = 42, spp: int = 64, height: int = 240):
+    """The EXACT scene tests/reforacle/driver.cpp builds for
+    ``reforacle W H spp bounces out.png shirley [seed]`` — dielectric
+    glass, fuzzy metal, moving (motion-blurred) diffuse spheres and
+    thin-lens DoF under reference-binary statistical verification
+    (VERDICT r4 missing #1; reference material.h:87-137, sphere.h:47-52,
+    camera.h:40-50). Field layout restates main.cpp:92-122 with the
+    shared LCG; all arithmetic in f32 to match the C++ draw-for-draw.
+    """
+    f32 = np.float32
+    nxt = _lcg_stream(seed)
+    b = SceneBuilder()
+
+    checker = b.add_checker_texture((0.2, 0.3, 0.1), (0.9, 0.9, 0.9))
+    b.add_sphere((0, -1000, 0), 1000.0, b.add_pbr_material(albedo_tex=checker))
+
+    for a in range(-11, 11):
+        for bb in range(-11, 11):
+            choose = nxt()
+            cx = f32(a) + f32(0.9) * nxt()
+            cz = f32(bb) + f32(0.9) * nxt()
+            center = np.array([cx, 0.2, cz], np.float32)
+            delta = center - np.array([4.0, 0.2, 0.0], np.float32)
+            if np.sqrt(f32(np.dot(delta, delta))) <= f32(0.9):
+                continue
+            if choose < f32(0.8):
+                r1, r2 = nxt(), nxt()
+                g1, g2 = nxt(), nxt()
+                b1, b2 = nxt(), nxt()
+                mat = b.add_pbr_material(albedo_tex=b.add_solid_texture(
+                    (f32(r1 * r2), f32(g1 * g2), f32(b1 * b2))))
+                dy = nxt() * f32(0.5)
+                center2 = center + np.array([0.0, dy, 0.0], np.float32)
+                b.add_sphere(center, 0.2, mat, center1=center2)
+            elif choose < f32(0.95):
+                ar = f32(0.5) + f32(0.5) * nxt()
+                ag = f32(0.5) + f32(0.5) * nxt()
+                ab = f32(0.5) + f32(0.5) * nxt()
+                fuzz = f32(0.5) * nxt()
+                b.add_sphere(center, 0.2,
+                             b.add_metal_material((ar, ag, ab), float(fuzz)))
+            else:
+                b.add_sphere(center, 0.2, b.add_dielectric_material(1.5))
+
+    b.add_sphere((0, 1, 0), 1.0, b.add_dielectric_material(1.5))
+    b.add_sphere(
+        (-4, 1, 0), 1.0,
+        b.add_pbr_material(albedo_tex=b.add_solid_texture((0.4, 0.2, 0.1))),
+    )
+    b.add_sphere((3, 1, 0), 1.0, b.add_metal_material((0.7, 0.6, 0.5), 0.0))
+
+    scene = b.build()
+    cfg = RenderConfig(
+        width=int(height * 16 / 9),
+        height=height,
+        samples_per_pixel=spp,
+        max_bounce=4,
+        camera=CameraConfig(
+            eye=(13.0, 2.0, 3.0),
+            look_at=(0.0, 0.0, 0.0),
+            vfov_degrees=20.0,
+            aperture=0.1,
+            focus_dist=10.0,
+        ),
+    )
+    return scene, cfg
+
+
 PRESETS = {
     "shirley": shirley_spheres,
+    "shirley_parity": shirley_parity,
     "cube": cube,
     "rustediron": rustediron_globe,
     "masterchief": masterchief,

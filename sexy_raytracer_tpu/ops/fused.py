@@ -257,7 +257,10 @@ def hitrec_math(F):
 NSF = 75
 SF_GF = 27
 SF_PACK = 57
-SF_IOR = SF_GF + 7  # gf[7] = ior; pad lanes must hold 1.0, not 0 (see pad())
+SF_IOR = SF_GF + 7  # gf[7] = ior. Invariant: miss/pad lanes gather material
+#   row 0, whose ior is 1.0 because every non-dielectric constructor in
+#   models/scene.py stores ior=1.0 — keep that builder default or dielectric
+#   refraction ratios on dead lanes go 0/NaN (ADVICE r4).
 # SI rows (i32 input stack): mtype, albedo_kind, normal_kind, metal_kind,
 #   rough_kind, emit_kind
 NSI = 6

@@ -49,10 +49,11 @@ T_MIN_DEFAULT = 0.001  # reference main.cpp:39
 # the ray blocks, so ``auto`` falls over to the BVH traversal.
 PALLAS_RESIDENT_MAX_TRIS = 120_000
 
-# Per-call wavefront cap: the Pallas kernels scalar-prefetch a per-ray-block
-# worklist into SMEM (1 MiB); a 1M-ray wavefront's 2048-row list overflowed
-# it (measured). Bigger wavefronts are processed in slices.
-MAX_FIND_RAYS = 262_144
+# (round 5) The former MAX_FIND_RAYS wavefront slicing is gone: SMEM
+# prefetch rows pad to 512 B regardless of logical width, so two sliced
+# calls overlapped in one program overflow the 1 MiB SMEM that a single
+# call with an adaptively coarsened ray block fits comfortably
+# (ops/pallas_find.find_hit_clustered grows RAY_BLOCK instead).
 
 
 class HitRecord(NamedTuple):
@@ -237,28 +238,6 @@ def find_hit(scene, org, dir, time, t_min=None, method="auto",
       * ``bruteforce`` — tiled jnp scan.
       * ``bvh`` — stackless skip-link BVH traversal (correctness referee).
     """
-    R = org.shape[0]
-    if R > MAX_FIND_RAYS:
-        if t_min is None:
-            t_min = jnp.full((R,), T_MIN_DEFAULT)
-        elif jnp.ndim(t_min) == 0:
-            t_min = jnp.full((R,), t_min)
-        # XLA overlaps the slices' scoped SMEM worklists in one program:
-        # divide the budget so their sum stays within the space
-        n_slices = -(-R // MAX_FIND_RAYS)
-        from sexy_raytracer_tpu.ops.pallas_find import WORKLIST_BYTES_MAX
-
-        budget = max(WORKLIST_BYTES_MAX // n_slices, 64 * 1024)
-        prims, ts = [], []
-        for i in range(0, R, MAX_FIND_RAYS):
-            j = min(i + MAX_FIND_RAYS, R)
-            p, t = find_hit(
-                scene, org[i:j], dir[i:j], time[i:j], t_min[i:j], method,
-                smem_budget=budget,
-            )
-            prims.append(p)
-            ts.append(t)
-        return jnp.concatenate(prims), jnp.concatenate(ts)
     if method == "auto" and scene.tri_v0.shape[0] > PALLAS_RESIDENT_MAX_TRIS:
         from sexy_raytracer_tpu.ops.pallas_find import pallas_supported
 

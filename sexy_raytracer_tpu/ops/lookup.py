@@ -32,18 +32,38 @@ ONEHOT_MAX_ROWS = 1024
 ONEHOT_BLOCK_ELEMS = 1 << 24
 
 
+# Tables at most this many rows skip the gather entirely in the FORWARD:
+# out = select-sum over rows (idx == m picks row m). TPU row gathers are
+# row-serial (the [R] index chain and the gather itself land in the
+# scalar memory space, ~0.4-0.7 ms per 131k-ray material fetch, measured
+# round-5); the select-sum is one fused vector pass and bit-exact
+# (multiplies by 0/1 only). Out-of-range idx yields row 0 like the
+# clamped gathers the callers build.
+SELECT_FWD_MAX_ROWS = 16
+
+
 def table_lookup(table, idx):
     """``table[idx]``: [N, K], [R] int32 -> [R, K]; idx must be in-range."""
     return _lookup(table.shape[0], table, idx)
 
 
+def _select_sum(table, idx):
+    out = jnp.broadcast_to(table[0], (idx.shape[0], table.shape[1]))
+    sel = idx[:, None]
+    for m in range(1, table.shape[0]):
+        out = jnp.where(sel == m, table[m], out)
+    return out
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _lookup(n_rows, table, idx):
+    if n_rows <= SELECT_FWD_MAX_ROWS:
+        return _select_sum(table, idx)
     return table[idx]
 
 
 def _fwd(n_rows, table, idx):
-    return table[idx], idx
+    return _lookup(n_rows, table, idx), idx
 
 
 def _bwd(n_rows, idx, g):

@@ -44,6 +44,7 @@ through ops/intersect.hit_data recomputation, so this kernel needs no VJP.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -53,16 +54,18 @@ from jax.experimental.pallas import tpu as pltpu
 from sexy_raytracer_tpu.models.clusters import CLUSTER_SIZE
 from sexy_raytracer_tpu.utils.mathx import EPSILON
 
-RAY_BLOCK = 128   # finer blocks cull tighter: 512 -> 128 measured the
+RAY_BLOCK = int(os.environ.get("SRT_RAY_BLOCK", "128"))
+                  # finer blocks cull tighter: 512 -> 128 measured the
                   # flagship train step 46.3 -> 37.3 ms (parity-gated);
                   # 64 is below the 128-lane minimum of the transposed
                   # ray block. Doubled adaptively when the per-block
                   # worklist would overflow the SMEM prefetch budget.
-# Default per-call worklist budget (v5e SMEM is 1 MiB). When one program
-# holds SEVERAL find calls (ops/intersect.find_hit slices wavefronts past
-# MAX_FIND_RAYS), XLA overlaps their scoped SMEM allocations with the
-# histogram worklists (measured: a 1M-ray train step ran 1.1 KB over with
-# 640 KB here) — the splitter passes smem_budget = this / n_slices.
+                  # Env override for perf experiments.
+# Default per-call worklist budget (v5e SMEM is 1 MiB). XLA overlaps the
+# find worklist's scoped SMEM with the histogram worklists in one program
+# (measured: a 1M-ray train step ran 1.1 KB over with 640 KB here), so
+# the find kernel keeps to half the space and the ray block grows when a
+# wavefront would need more rows.
 WORKLIST_BYTES_MAX = 512 * 1024
 _BIG = 3.0e38
 
@@ -188,23 +191,35 @@ def _find_kernel(n_tris, n_sph, lists_ref, rays_ref, rays_t_ref, tri_ref,
         dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
         t_min = rays[:, 7:8]
         lane = jax.lax.broadcasted_iota(jnp.int32, (BR, CLUSTER_SIZE), 1)
-
-        def tri_tile(k, carry):
-            c = lists_ref[b, 1 + k]
-            return _tri_tile_best(
-                tri_ref[c], ox, oy, oz, dx, dy, dz, t_min, lane,
-                c * CLUSTER_SIZE, *carry,
-            )
-
+        nc_ids = (lists_ref.shape[1] - 1) // 2
         count = lists_ref[b, 0]
-        init = (
-            jnp.full((BR, 1), _BIG, jnp.float32),
-            jnp.full((BR, 1), -1, jnp.int32),
+
+        # front-to-back while-loop with EARLY-OUT: the worklist is ordered
+        # by block-min entry distance and carries those entries as
+        # order-preserving int bits; once the next cluster's entry lies
+        # beyond the block's WORST per-ray best-t (seeded by the sphere
+        # hits — the r=1000 ground bounds every downward ray), no
+        # remaining cluster can change any lane's answer. Note an
+        # unrolled-x2 fori variant measured SLOWER (9.9 -> 11.3 ms,
+        # round-5 diag); the win is skipping tiles, not batching them.
+        def cond(state):
+            k, bt, bi, worst = state
+            return (k < count) & (lists_ref[b, 1 + nc_ids + k] < worst)
+
+        def body(state):
+            k, bt, bi, worst = state
+            c = lists_ref[b, 1 + k]
+            bt, bi = _tri_tile_best(
+                tri_ref[c], ox, oy, oz, dx, dy, dz, t_min, lane,
+                c * CLUSTER_SIZE, bt, bi,
+            )
+            worst = jnp.max(jax.lax.bitcast_convert_type(bt, jnp.int32))
+            return (k + 1, bt, bi, worst)
+
+        init_worst = jnp.max(jax.lax.bitcast_convert_type(best_t0, jnp.int32))
+        _, best_t0, best_i0, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), best_t0, best_i0, init_worst)
         )
-        tri_t, tri_i = jax.lax.fori_loop(0, count, tri_tile, init)
-        better = tri_t < best_t0
-        best_t0 = jnp.where(better, tri_t, best_t0)
-        best_i0 = jnp.where(better, tri_i, best_i0)
 
     out_t_ref[...] = best_t0
     out_i_ref[...] = jnp.where(best_t0 < _BIG, best_i0, -1)
@@ -294,35 +309,78 @@ def cluster_lists(org, dir, t_min, cmin, cmax, t_max=None,
         return cluster_lists_block(org, dir, t_min, cmin, cmax,
                                    t_max=t_max, ray_block=ray_block)
     R = org.shape[0]
-    NC = cmin.shape[0]
     nb = -(-R // ray_block)
-
-    d = dir[:, None, :]                                  # [R,1,3]
-    o = org[:, None, :]
-    zero = d == 0.0
-    inv = 1.0 / jnp.where(zero, 1.0, d)
-    near = (cmin[None, :, :] - o) * inv                  # [R,NC,3]
-    far = (cmax[None, :, :] - o) * inv
-    inside = (o >= cmin[None, :, :]) & (o <= cmax[None, :, :])
-    lo = jnp.where(zero, jnp.where(inside, -_BIG, _BIG), jnp.minimum(near, far))
-    hi = jnp.where(zero, jnp.where(inside, _BIG, -_BIG), jnp.maximum(near, far))
-    t_near = jnp.maximum(jnp.max(lo, axis=-1), t_min[:, None])
-    t_far = jnp.min(hi, axis=-1)
-    hit = t_far > t_near                                 # [R, NC]
-    if t_max is not None:
-        hit &= t_near < t_max[:, None]
-
-    entry = jnp.where(hit, t_near, _BIG)
     pad_r = nb * ray_block - R
     if pad_r:
-        hit = jnp.pad(hit, ((0, pad_r), (0, 0)))
-        entry = jnp.pad(entry, ((0, pad_r), (0, 0)), constant_values=_BIG)
-    hit = hit.reshape(nb, ray_block, NC).any(axis=1)     # [NB, NC]
-    entry = entry.reshape(nb, ray_block, NC).min(axis=1)
+        org = jnp.pad(org, ((0, pad_r), (0, 0)))
+        dir = jnp.pad(dir, ((0, pad_r), (0, 0)))
+        t_min = jnp.pad(t_min, (0, pad_r), constant_values=_BIG)
+        if t_max is not None:
+            t_max = jnp.pad(t_max, (0, pad_r), constant_values=-_BIG)
+    o_rows = org.T                                       # [3, Rp]
+    d_rows = dir.T
+    t_max_row = None if t_max is None else t_max[None, :]
+    return _cull_rows(o_rows, d_rows, t_min[None, :], t_max_row,
+                      cmin, cmax, nb, ray_block)
+
+
+def _cull_rows(o_rows, d_rows, t_min_row, t_max_row, cmin, cmax, nb,
+               ray_block):
+    """Exact per-ray cull on row-major ray data -> lists [NB, NC+1].
+
+    o_rows/d_rows: [3, Rp]; t_min_row/t_max_row: [1, Rp] (dead rays have
+    t_min >= 3e38 and activate nothing). Transposed [NC, Rp] layout: rays
+    ride the 128-lane axis fully packed. The old [R, NC, 3] form used NC
+    (~24 on the flagship) of 128 lanes and was the single most expensive
+    piece of the whole train step — measured 5.4 ms of a 9.1 ms find call
+    at 131k rays; this form's device time is ~0.08 ms (round-5 diag).
+    """
+    NC = cmin.shape[0]
+    Rp = o_rows.shape[1]
+    t_near = jnp.broadcast_to(t_min_row, (NC, Rp))       # [NC, Rp]
+    t_far = jnp.full((NC, Rp), _BIG)
+    for a in range(3):
+        o_a = o_rows[a:a + 1]                            # [1, Rp]
+        d_a = d_rows[a:a + 1]
+        zero = d_a == 0.0
+        inv = 1.0 / jnp.where(zero, 1.0, d_a)
+        lo_c = cmin[:, a][:, None]                       # [NC, 1]
+        hi_c = cmax[:, a][:, None]
+        near = (lo_c - o_a) * inv                        # [NC, Rp]
+        far = (hi_c - o_a) * inv
+        lo = jnp.minimum(near, far)
+        hi = jnp.maximum(near, far)
+        inside = (o_a >= lo_c) & (o_a <= hi_c)
+        lo = jnp.where(zero, jnp.where(inside, -_BIG, _BIG), lo)
+        hi = jnp.where(zero, jnp.where(inside, _BIG, -_BIG), hi)
+        t_near = jnp.maximum(t_near, lo)
+        t_far = jnp.minimum(t_far, hi)
+    hit = t_far > t_near                                 # [NC, Rp]
+    if t_max_row is not None:
+        hit &= t_near < t_max_row
+
+    entry = jnp.where(hit, t_near, _BIG)
+    hit = hit.reshape(NC, nb, ray_block).any(axis=2).T   # [NB, NC]
+    entry = entry.reshape(NC, nb, ray_block).min(axis=2).T
     count = jnp.sum(hit, axis=1, dtype=jnp.int32)
     # actives first, front-to-back by block-min entry distance
     order = jnp.argsort(jnp.where(hit, entry, _BIG), axis=1)
-    return jnp.concatenate([count[:, None], order.astype(jnp.int32)], axis=1)
+    return _lists_with_entries(count, order, entry)
+
+
+def _lists_with_entries(count, order, entry):
+    """[NB, 1 + NC + NC] worklist rows: count, front-to-back cluster ids,
+    then the matching block-min entry distances as ORDER-PRESERVING int32
+    bit patterns (non-negative f32s compare identically as ints). The
+    kernel's while-loop reads entry k to stop as soon as no remaining
+    cluster can beat the block's worst current best-t (early-out)."""
+    entry_sorted = jnp.take_along_axis(entry, order, axis=1)
+    entry_bits = jax.lax.bitcast_convert_type(
+        jnp.maximum(entry_sorted, 0.0), jnp.int32
+    )
+    return jnp.concatenate(
+        [count[:, None], order.astype(jnp.int32), entry_bits], axis=1
+    )
 
 
 def cluster_lists_block(org, dir, t_min, cmin, cmax, t_max=None,
@@ -450,7 +508,7 @@ def cluster_lists_block(org, dir, t_min, cmin, cmax, t_max=None,
     count = jnp.sum(hit, axis=1, dtype=jnp.int32)
     entry = jnp.where(hit, t_near, _BIG)
     order = jnp.argsort(entry, axis=1)
-    return jnp.concatenate([count[:, None], order.astype(jnp.int32)], axis=1)
+    return _lists_with_entries(count, order, entry)
 
 
 # ---------------------------------------------------------------------------
@@ -485,7 +543,13 @@ def find_hit_clustered(scene, org, dir, time, t_min=None, cull=True,
         smem_budget = WORKLIST_BYTES_MAX
     nc_est = -(-T // CLUSTER_SIZE)
     rb = RAY_BLOCK
-    while (-(-R // rb)) * (nc_est + 1) * 4 > smem_budget:
+    # worklist rows: count + NC ordered ids + NC entry-distance bits.
+    # SMEM prefetch rows are PADDED to 128 int32 lanes (512 B/row) by the
+    # compiler regardless of logical width (measured: a [2048, 25] s32
+    # prefetch allocated exactly 1.0 MiB), so the budget accounting uses
+    # the padded row size — logical width only matters past 128 ints.
+    row_bytes = max(-(-(2 * nc_est + 1) // 128) * 128, 128) * 4
+    while (-(-R // rb)) * row_bytes > smem_budget:
         rb *= 2
     nb = -(-R // rb)
     Rpad = nb * rb
@@ -518,8 +582,11 @@ def find_hit_clustered(scene, org, dir, time, t_min=None, cull=True,
                 )
         else:
             ids = jnp.broadcast_to(jnp.arange(nc, dtype=jnp.int32), (nb, nc))
+            # zero entry bits: 0 < any live best-t, so no early-out —
+            # every cluster is processed (cull=False semantics)
             lists = jnp.concatenate(
-                [jnp.full((nb, 1), nc, jnp.int32), ids], axis=1
+                [jnp.full((nb, 1), nc, jnp.int32), ids,
+                 jnp.zeros((nb, nc), jnp.int32)], axis=1
             )
     else:
         tri_pack = jnp.zeros((1, 16, CLUSTER_SIZE), jnp.float32)
@@ -566,6 +633,7 @@ def find_hit_clustered(scene, org, dir, time, t_min=None, cull=True,
     prim = out_i.reshape(Rpad)[:R]
     t = jnp.where(prim >= 0, t, jnp.inf)
     return prim, t
+
 
 
 # ---------------------------------------------------------------------------

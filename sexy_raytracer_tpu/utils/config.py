@@ -38,11 +38,15 @@ class RenderConfig:
     background: Tuple[float, float, float] = (0.53, 0.81, 0.92)  # main.cpp:170
     camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
     seed: int = 0
-    # Rays processed per device dispatch; tuned so the wavefront state and
-    # intersection workspace stay inside VMEM/HBM comfortably.
-    rays_per_chunk: int = 1 << 17
+    # Paths traced per device dispatch (chunk_pixels * samples_per_batch).
+    # Each dispatch pays ~35 ms of relay/launch overhead on this backend
+    # regardless of size (round-5 diag: a 131k-path dispatch ran 60 ms
+    # wall at 25 ms device), so dispatches are sized to amortize it; the
+    # find kernel coarsens its ray block adaptively to keep its SMEM
+    # worklist in budget at this wavefront size.
+    rays_per_chunk: int = 1 << 19
     # Samples accumulated per compiled step (chunked over spp).
-    samples_per_batch: int = 1
+    samples_per_batch: int = 8
 
     @property
     def aspect(self) -> float:

@@ -1,26 +1,30 @@
 #!/usr/bin/env python
-"""Flagship inverse-rendering experiment (BASELINE config 5) — evidence run.
+"""Flagship inverse-rendering experiments (BASELINE config 5) — evidence.
 
-Phase 1 — parameter recovery against a self-rendered target (240p):
-  perturb the Master Chief scene's shade_atlas basecolor channels
-  (x0.5+60) and the iron sphere's position, then optimize them back with
-  the SPMD train step on the TPU. Reports the stochastic loss curve, the
-  exact (deterministic re-render) MSE before/after, and the sphere-center
-  error before/after. Pass criteria (printed as JSON): exact-MSE ratio
-  >= 10x, center error < 0.15.
+Phases (select with --phases, default all):
 
-Phase 2 — BASELINE config 5 verbatim: optimize the un-perturbed scene
-  against the reference golden images/test-5kx720p.png at 720p and report
-  the loss curve (the reference's own quirks bound the floor).
+  1   CRN self-recovery at 240p: perturb the chief atlas basecolor, trace
+      the target's exact sample set every step (common random numbers) —
+      the deterministic-gradient upper bound. Bar: exact-MSE ratio >= 10x.
+  1b  STOCHASTIC-target self-recovery (no CRN, VERDICT r4 #6): same
+      perturbation, independent per-step sampling, recovered via
+      coarse-to-fine reparameterization (optimize an 8x-downsampled atlas
+      delta, then refine at full resolution). Bar: exact-MSE ratio >= 5x.
+  1c  Featureless-sphere POSITION recovery via silhouette gradients
+      (VERDICT r4 #7): displace the iron sphere (the r3 pathology: the
+      interior-only gradient buried it, center err 0.146 -> 2.39) and
+      recover with diff/silhouette.py's boundary estimator. Bar: center
+      error < 0.15 (and in practice ~an order lower).
+  2   BASELINE config 5 verbatim at 720p: optimize perturbed material
+      factors against the reference golden images/test-5kx720p.png,
+      >= 2000 steps, document the converged floor, check in
+      recovered-vs-target renders (VERDICT r4 #5).
 
-Artifacts (checked in under artifacts/inverse/):
-  losses_240p.json / losses_720p.json — per-step loss curves
-  loss_curves.png                     — both curves, log scale
-  atlas_true/pert/recovered.png       — chief basecolor map (layer 0)
-  render_target/pert/recovered.png    — 240p renders
-  report.json                         — all metrics + pass/fail
+Artifacts land in artifacts/inverse/ (report.json is merged across
+partial runs, so phases can be run separately).
 """
 
+import argparse
 import dataclasses
 import json
 import os
@@ -33,9 +37,413 @@ import numpy as np
 
 ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "artifacts", "inverse")
+ROI = (40, 236, 40, 260)  # chief + iron at 240p
+
+
+def resolved_of(lin, spp):
+    return np.clip(np.sqrt(np.clip(lin / spp, 1e-8, None)), 0, 0.999)
+
+
+def mse(a, b, roi=None):
+    d = (a - b) ** 2
+    if roi:
+        r0, r1, c0, c1 = ROI
+        d = d[r0:r1, c0:c1]
+    return float(d.mean())
+
+
+def to_u8(x):
+    return np.clip(x, 0, 255).astype(np.uint8)
+
+
+def make_target_240p():
+    """(scene, cfg, target_lin, target_resolved) for the self-recovery
+    phases — cached on disk (deterministic seed -> identical re-render)."""
+    from sexy_raytracer_tpu.models import presets
+    from sexy_raytracer_tpu.render.renderer import render_accumulate
+
+    scene, cfg = presets.masterchief(height=240)
+    cfg = dataclasses.replace(cfg, samples_per_pixel=128)
+    target_npz = os.path.join(ART, "target_240p.npz")
+    if os.path.exists(target_npz):
+        target_lin = np.load(target_npz)["accum"]
+    else:
+        print("rendering self-target (240p/128spp)...", flush=True)
+        target_lin = np.asarray(
+            render_accumulate(scene, cfg, method="auto", progress=True))
+        np.savez(target_npz, accum=target_lin)
+    return scene, cfg, target_lin, resolved_of(target_lin, 128)
+
+
+def perturb_atlas(scene):
+    true_atlas = np.asarray(scene.shade_atlas)
+    pert_atlas = true_atlas.copy()
+    pert_atlas[..., 0:3] = np.clip(true_atlas[..., 0:3] * 0.3 + 90.0, 0, 255)
+    import jax.numpy as jnp
+
+    return true_atlas, pert_atlas, scene._replace(
+        shade_atlas=jnp.asarray(pert_atlas))
+
+
+CHAN_MASK = None
+
+
+def chan_mask():
+    global CHAN_MASK
+    if CHAN_MASK is None:
+        m = np.zeros((1, 1, 1, 8), np.float32)
+        m[..., 0:3] = 1.0
+        CHAN_MASK = m
+    return CHAN_MASK
+
+
+def eval_recovery(report, prefix, scene_true_atlas, pert_atlas, opt_scene,
+                  target, cfg, losses):
+    from sexy_raytracer_tpu.render.renderer import render_accumulate
+    from sexy_raytracer_tpu.utils.png import write_png
+
+    def render_resolved(s):
+        return resolved_of(
+            np.asarray(render_accumulate(s, cfg, method="auto")),
+            cfg.samples_per_pixel)
+
+    r_opt = render_resolved(opt_scene)
+    pert_npz = os.path.join(ART, "render_pert_240p.npz")
+    if os.path.exists(pert_npz):
+        r_pert = np.load(pert_npz)["img"]
+    else:
+        import jax.numpy as jnp
+
+        r_pert = render_resolved(
+            opt_scene._replace(shade_atlas=jnp.asarray(pert_atlas)))
+        np.savez(pert_npz, img=r_pert)
+
+    mse_pert = mse(r_pert, target, roi=True)
+    mse_opt = mse(r_opt, target, roi=True)
+    ratio = mse_pert / max(mse_opt, 1e-12)
+    report.update({
+        f"{prefix}_loss_first5": float(np.mean(losses[:5])),
+        f"{prefix}_loss_last30": float(np.mean(losses[-30:])),
+        f"{prefix}_exact_mse_perturbed": mse_pert,
+        f"{prefix}_exact_mse_recovered": mse_opt,
+        f"{prefix}_exact_mse_ratio": round(ratio, 2),
+    })
+    moved = np.abs(
+        np.asarray(opt_scene.shade_atlas) - pert_atlas).max(axis=-1) > 1.0
+    if moved.any():
+        e_pert = np.abs(
+            pert_atlas[..., 0:3] - scene_true_atlas[..., 0:3])[moved]
+        e_opt = np.abs(np.asarray(opt_scene.shade_atlas)[..., 0:3]
+                       - scene_true_atlas[..., 0:3])[moved]
+        report[f"{prefix}_visible_texels"] = int(moved.sum())
+        report[f"{prefix}_visible_texel_mae_before"] = float(e_pert.mean())
+        report[f"{prefix}_visible_texel_mae_after"] = float(e_opt.mean())
+    write_png(os.path.join(ART, f"atlas_recovered_{prefix}.png"),
+              to_u8(np.asarray(opt_scene.shade_atlas)[0, ..., 0:3]))
+    write_png(os.path.join(ART, f"render_recovered_{prefix}.png"),
+              to_u8(r_opt * 255.99))
+    return ratio
+
+
+def phase1_crn(report):
+    """CRN upper bound (r4 evidence, re-run for regression)."""
+    import jax
+
+    from sexy_raytracer_tpu.diff.inverse import inverse_render
+    from sexy_raytracer_tpu.utils.png import write_png
+
+    scene, cfg, target_lin, target = make_target_240p()
+    true_atlas, pert_atlas, perturbed = perturb_atlas(scene)
+    write_png(os.path.join(ART, "atlas_true.png"),
+              to_u8(true_atlas[0, ..., 0:3]))
+    write_png(os.path.join(ART, "atlas_pert.png"),
+              to_u8(pert_atlas[0, ..., 0:3]))
+    write_png(os.path.join(ART, "render_target.png"), to_u8(target * 255.99))
+
+    t0 = time.time()
+    print("phase 1 (CRN): 900 steps, 8192 px/step, spb 128...", flush=True)
+    opt, losses = inverse_render(
+        perturbed, target, cfg,
+        n_steps=900, pixels_per_step=8192, spb=128,
+        learning_rate=1e-2, method="auto", seed=7,
+        trainable=("shade_atlas",),
+        grad_masks={"shade_atlas": chan_mask()},
+        roi=ROI, loss_type="mse",
+        crn_key=jax.random.key(cfg.seed),
+        progress=True, log_every=100,
+    )
+    report["optimize_240p_s"] = round(time.time() - t0, 1)
+    with open(os.path.join(ART, "losses_240p.json"), "w") as f:
+        json.dump(losses, f)
+    ratio = eval_recovery(report, "crn", true_atlas, pert_atlas, opt,
+                          target, cfg, losses)
+    # legacy top-level keys (r4 report shape)
+    report["exact_mse_ratio"] = round(ratio, 2)
+    report["pass_mse_improved"] = bool(ratio >= 10.0)
+    return losses
+
+
+def phase1b_stochastic(report):
+    """Non-CRN recovery via coarse-to-fine (VERDICT r4 #6, bar >= 5x)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sexy_raytracer_tpu.diff.inverse import inverse_render
+
+    scene, cfg, target_lin, target = make_target_240p()
+    true_atlas, pert_atlas, perturbed = perturb_atlas(scene)
+    L, AH, AW, C = true_atlas.shape
+    F = 8
+    pert_dev = jnp.asarray(pert_atlas)
+    target_linear = target_lin / 128.0  # tile_linear wants linear radiance
+
+    # Curriculum (generic coarse-to-fine, each stage initialized from
+    # the last): (0) per-layer-channel AFFINE correction — the classic
+    # color-calibration stage; captures any global exposure/tint error
+    # in a 12-dim space where the gradient SNR is enormous; (A) an
+    # 8x-downsampled spatial delta for regional errors; (B) per-texel
+    # refinement. Stages 0/A use the TILE-AVERAGED LINEAR loss
+    # (tile_linear): a first attempt with the per-pixel resolved MSE
+    # random-walked to exact-MSE ratio 0.93 — its ~0.017 Monte-Carlo
+    # noise floor at spb 32 drowned the 7e-4 perturbation signal; tile
+    # averaging cuts the noise ~11x. Stage B needs per-texel constraints,
+    # so it uses the per-pixel linear huber at higher spb.
+    def up(d):
+        return jnp.repeat(jnp.repeat(d, F, axis=1), F, axis=2)
+
+    def transform_0(p):
+        ch = pert_dev[..., 0:3] * p["scale"][:, None, None, :] \
+            + p["offset"][:, None, None, :]
+        atlas = jnp.concatenate([ch, pert_dev[..., 3:]], axis=-1)
+        return {"shade_atlas": jnp.clip(atlas, 0.0, 255.0)}
+
+    t0 = time.time()
+    # drift budget: measured per-step gradient SNR at this batch size is
+    # ~0.3 (probe, round 5), so the expected parameter drift is
+    # sum(lr_t) * SNR — 1200 cosine-decayed steps at lr 3e-2 covers the
+    # needed scale excursion (1 -> 3.33) with ~2x margin
+    print("phase 1b stage 0 (affine, no CRN, tile_linear): 1200 steps...",
+          flush=True)
+    opt_0, losses_0 = inverse_render(
+        perturbed, target_linear, cfg,
+        n_steps=1200, pixels_per_step=16384, spb=32,
+        learning_rate=3e-2, method="auto", seed=12,
+        init_params={"scale": jnp.ones((L, 3), jnp.float32),
+                     "offset": jnp.zeros((L, 3), jnp.float32)},
+        lr_overrides={"offset": 3.0},
+        param_transform=transform_0,
+        roi=ROI, loss_type="tile_linear", huber_delta=0.5,
+        progress=True, log_every=50,
+    )
+    atlas_0 = jnp.asarray(opt_0.shade_atlas)
+
+    # stage 0b: SETTLE — a fresh identity-initialized affine composed on
+    # the stage-0 atlas at 6x lower lr. Stage 0 is drift-limited (it must
+    # cover scale 1 -> 3.33 against SNR ~0.3 noise, so it ends wandering
+    # around the optimum with radius ~lr); the settle pass only needs to
+    # correct that residual and converges tightly.
+    def transform_0b(p):
+        ch = atlas_0[..., 0:3] * p["scale"][:, None, None, :] \
+            + p["offset"][:, None, None, :]
+        atlas = jnp.concatenate([ch, atlas_0[..., 3:]], axis=-1)
+        return {"shade_atlas": jnp.clip(atlas, 0.0, 255.0)}
+
+    print("phase 1b stage 0b (affine settle): 600 steps...", flush=True)
+    opt_0b, losses_0b = inverse_render(
+        perturbed, target_linear, cfg,
+        n_steps=600, pixels_per_step=16384, spb=32,
+        learning_rate=5e-3, method="auto", seed=15,
+        init_params={"scale": jnp.ones((L, 3), jnp.float32),
+                     "offset": jnp.zeros((L, 3), jnp.float32)},
+        lr_overrides={"offset": 0.5},
+        param_transform=transform_0b,
+        roi=ROI, loss_type="tile_linear", huber_delta=0.5,
+        progress=True, log_every=100,
+    )
+    atlas_0 = jnp.asarray(opt_0b.shade_atlas)
+    losses_0 = losses_0 + losses_0b
+
+    def transform_a(p):
+        delta = up(p["d8"])  # [L, AH, AW, 3]
+        atlas = jnp.concatenate(
+            [atlas_0[..., 0:3] + delta, atlas_0[..., 3:]], axis=-1)
+        return {"shade_atlas": jnp.clip(atlas, 0.0, 255.0)}
+
+    print("phase 1b stage A (coarse 8x, no CRN, tile_linear): 400 steps...",
+          flush=True)
+    opt_a, losses_a = inverse_render(
+        perturbed, target_linear, cfg,
+        n_steps=400, pixels_per_step=8192, spb=32,
+        learning_rate=0.5, method="auto", seed=13,
+        init_params={"d8": jnp.zeros((L, AH // F, AW // F, 3), jnp.float32)},
+        param_transform=transform_a,
+        roi=ROI, loss_type="tile_linear", huber_delta=0.5,
+        progress=True, log_every=100,
+    )
+
+    # stage B: per-texel refinement under the per-pixel linear huber at
+    # spb 128 (the tile loss cannot see per-texel detail; higher spb cuts
+    # the per-pixel noise 2x vs stage A)
+    def transform_b(p):
+        return {"shade_atlas": jnp.clip(p["atlas_fr"], 0.0, 255.0)}
+
+    print("phase 1b stage B (full-res, no CRN, linear huber): 400 steps...",
+          flush=True)
+    opt_b, losses_b = inverse_render(
+        perturbed, target_linear, cfg,
+        n_steps=400, pixels_per_step=8192, spb=128,
+        learning_rate=0.25, method="auto", seed=14,
+        init_params={"atlas_fr": opt_a.shade_atlas},
+        param_transform=transform_b,
+        grad_masks={"atlas_fr": chan_mask()},
+        roi=ROI, loss_type="linear_mse", huber_delta=0.05,
+        progress=True, log_every=100,
+    )
+    losses_a = losses_0 + losses_a
+    report["optimize_240p_nocrn_s"] = round(time.time() - t0, 1)
+    losses = losses_a + losses_b
+    with open(os.path.join(ART, "losses_240p_nocrn.json"), "w") as f:
+        json.dump(losses, f)
+    ratio = eval_recovery(report, "nocrn", true_atlas, pert_atlas, opt_b,
+                          target, cfg, losses)
+    report["pass_nocrn_5x"] = bool(ratio >= 5.0)
+    return losses
+
+
+def phase1c_silhouette(report):
+    """Iron-sphere position recovery via boundary gradients (r4 #7)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from sexy_raytracer_tpu.diff.silhouette import sphere_silhouette_loss
+    from sexy_raytracer_tpu.render.camera import Camera
+
+    scene, cfg, target_lin, target = make_target_240p()
+    IRON = 2  # ground(0) light(1) iron(2) metal(3), presets.masterchief
+    assert float(scene.sph_radius[IRON]) == 1.0
+    c_true = np.asarray(scene.sph_c0[IRON])
+    assert np.allclose(c_true, [-3.0, 1.0, 0.0])
+
+    disp = np.array([0.10, 0.08, -0.07], np.float32)  # |d| ~ 0.146 (r3)
+    c0 = jnp.asarray(c_true + disp)
+    camera = Camera.from_config(cfg.camera, cfg.aspect)
+    target_dev = jnp.asarray(target)
+
+    def with_center(c):
+        return scene._replace(
+            sph_c0=scene.sph_c0.at[IRON].set(c),
+            sph_c1=scene.sph_c1.at[IRON].set(c),
+        )
+
+    def loss(c, key):
+        return sphere_silhouette_loss(
+            with_center(c), camera, target_dev, [IRON], key,
+            width=cfg.width, height=cfg.height, max_bounce=cfg.max_bounce,
+            background=cfg.background, n_edge=512, method="auto",
+        )
+
+    opt = optax.adam(2e-2)
+    st = opt.init(c0)
+
+    @jax.jit
+    def step(c, st, key):
+        g = jax.grad(loss)(c, key)
+        up, st2 = opt.update(g, st, c)
+        return optax.apply_updates(c, up), st2, g
+
+    t0 = time.time()
+    c = c0
+    errs = [float(np.linalg.norm(np.asarray(c) - c_true))]
+    for i in range(200):
+        c, st, g = step(c, st, jax.random.key(100 + i))
+        if i % 20 == 0 or i == 199:
+            errs.append(float(np.linalg.norm(np.asarray(c) - c_true)))
+            print(f"  step {i}: center err {errs[-1]:.4f}", flush=True)
+    err_final = float(np.linalg.norm(np.asarray(c) - c_true))
+    report.update({
+        "silhouette_center_err_start": float(np.linalg.norm(disp)),
+        "silhouette_center_err_final": round(err_final, 4),
+        "silhouette_err_curve": [round(e, 4) for e in errs],
+        "silhouette_seconds": round(time.time() - t0, 1),
+        "pass_silhouette_recovery": bool(err_final < 0.15),
+    })
+    return err_final
+
+
+def phase2_golden(report):
+    """720p vs the reference golden, 2000 steps + artifacts (r4 #5)."""
+    import jax.numpy as jnp
+
+    from sexy_raytracer_tpu.diff.inverse import inverse_render
+    from sexy_raytracer_tpu.models import presets
+    from sexy_raytracer_tpu.render.renderer import render_accumulate
+    from sexy_raytracer_tpu.utils.png import read_png, write_png
+
+    golden = read_png("/root/reference/images/test-5kx720p.png", 3)
+    if golden is None:
+        print("golden unavailable; skipping phase 2")
+        return None
+    scene720, cfg720 = presets.masterchief(height=720)
+    print("phase 2: 2000 steps vs test-5kx720p.png (720p)...", flush=True)
+    t0 = time.time()
+    # densely-observed factors only (the golden embodies the reference's
+    # own quirks; per-texel gradients at 720p are sparse). Start from
+    # PERTURBED factors so the curve demonstrates real convergence.
+    bc = np.asarray(scene720.mat_base_color).copy()
+    bc[:, :3] *= 0.6
+    ac0 = np.asarray(scene720.mat_albedo_c0) * 0.6
+    pert720 = scene720._replace(
+        mat_base_color=jnp.asarray(bc),
+        mat_albedo_c0=jnp.asarray(ac0),
+    )
+    opt720, losses720 = inverse_render(
+        pert720, golden.astype(np.float32) / 255.0, cfg720,
+        n_steps=2000, pixels_per_step=8192, spb=16,
+        learning_rate=2e-3, method="auto", seed=11,
+        trainable=("mat_base_color", "mat_metallic",
+                   "mat_roughness", "mat_albedo_c0", "mat_albedo_c1"),
+        loss_type="huber",
+        progress=True, log_every=200,
+    )
+    report["optimize_720p_s"] = round(time.time() - t0, 1)
+    with open(os.path.join(ART, "losses_720p.json"), "w") as f:
+        json.dump(losses720, f)
+    # converged floor: mean over the last 10% vs the first 5 steps,
+    # plus a drift check over the final quarter (floor = converged when
+    # the last two quarters agree within noise)
+    q = len(losses720) // 4
+    report.update({
+        "loss720_first5": float(np.mean(losses720[:5])),
+        "loss720_last200": float(np.mean(losses720[-200:])),
+        "loss720_floor_q3": float(np.mean(losses720[2 * q:3 * q])),
+        "loss720_floor_q4": float(np.mean(losses720[3 * q:])),
+    })
+
+    # recovered-vs-target visual evidence at 720p
+    cfg_r = dataclasses.replace(cfg720, samples_per_pixel=64)
+    rec = resolved_of(
+        np.asarray(render_accumulate(opt720, cfg_r, method="auto")), 64)
+    pert_r = resolved_of(
+        np.asarray(render_accumulate(pert720, cfg_r, method="auto")), 64)
+    write_png(os.path.join(ART, "golden_720p.png"), to_u8(golden))
+    write_png(os.path.join(ART, "render_720p_perturbed.png"),
+              to_u8(pert_r * 255.99))
+    write_png(os.path.join(ART, "render_720p_recovered.png"),
+              to_u8(rec * 255.99))
+    g = golden.astype(np.float64) / 255.0
+    report["golden720_mae_perturbed"] = float(np.abs(pert_r - g).mean())
+    report["golden720_mae_recovered"] = float(np.abs(rec - g).mean())
+    return losses720
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phases", default="1,1b,1c,2",
+                    help="comma list from {1,1b,1c,2}")
+    args = ap.parse_args()
+    phases = set(args.phases.split(","))
+
     os.makedirs(ART, exist_ok=True)
     import jax
 
@@ -44,217 +452,44 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except AttributeError:
         pass
-    import jax.numpy as jnp
 
-    from sexy_raytracer_tpu.diff.inverse import inverse_render
-    from sexy_raytracer_tpu.models import presets
-    from sexy_raytracer_tpu.render.renderer import render_accumulate
-    from sexy_raytracer_tpu.utils.png import write_png
-
+    report_path = os.path.join(ART, "report.json")
     report = {}
+    if os.path.exists(report_path):
+        with open(report_path) as f:
+            report = json.load(f)
     t_all = time.time()
 
-    # ---------------- phase 1: self-recovery at 240p ----------------
-    scene, cfg = presets.masterchief(height=240)
-    # smaller chunks: checkpoints land every ~15k pixels, so a relay wedge
-    # (see memory: axon quirks) costs at most one chunk on restart
-    cfg = dataclasses.replace(cfg, samples_per_pixel=128,
-                              rays_per_chunk=16384)
+    curves = {}
+    if "1" in phases:
+        curves["240p CRN"] = phase1_crn(report)
+    if "1b" in phases:
+        curves["240p stochastic (coarse-to-fine)"] = phase1b_stochastic(report)
+    if "1c" in phases:
+        phase1c_silhouette(report)
+    if "2" in phases:
+        l7 = phase2_golden(report)
+        if l7:
+            curves["720p vs golden"] = l7
 
-    print("rendering self-target (240p/128spp)...", flush=True)
-    t0 = time.time()
-    target_npz = os.path.join(ART, "target_240p.npz")
-    if os.path.exists(target_npz):
-        target_lin = np.load(target_npz)["accum"]
-        print("  (reusing cached target)", flush=True)
-    else:
-        target_lin = np.asarray(
-            render_accumulate(
-                scene, cfg, method="auto", progress=True,
-                checkpoint=os.path.join(ART, "target_ckpt.npz"),
-            )
-        )
-        np.savez(target_npz, accum=target_lin)
-    target = np.clip(np.sqrt(np.clip(
-        target_lin / cfg.samples_per_pixel, 1e-8, None)), 0, 0.999)
-    print(f"  target in {time.time()-t0:.1f}s", flush=True)
+    if curves:
+        import matplotlib
 
-    true_atlas = np.asarray(scene.shade_atlas)
-    pert_atlas = true_atlas.copy()
-    pert_atlas[..., 0:3] = np.clip(true_atlas[..., 0:3] * 0.3 + 90.0, 0, 255)
-    perturbed = scene._replace(shade_atlas=jnp.asarray(pert_atlas))
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
 
-    # Scope note (measured, runs r3.1-r3.3): sphere-POSITION recovery at
-    # flagship scale is demonstrated by tests/test_inverse.py on a
-    # textured sphere. The flagship's own spheres are featureless (solid
-    # sentinel / perfect mirror): with silhouette motion stop-graded by
-    # design (SURVEY §7), their position has no restoring pixel gradient
-    # and the optimizer discovers the loss-reducing cheat of burying the
-    # displaced sphere in the ground (iron center err 0.146 -> 2.39 while
-    # the stochastic loss fell). That pathology is a property of
-    # interior-gradient-only position optimization, recorded here rather
-    # than papered over.
-    #
-    # ROI over chief+iron: uniform sampling gives each visible texel a
-    # ray every ~200 steps (pure-noise Adam updates, measured); the ROI
-    # brings texel sampling cadence to ~3 steps. spb 32 halves the
-    # residual MC noise vs 16 — the rate limiter for texel recovery.
-    ROI = (40, 236, 40, 260)
-    # recover the albedo channels only: the perturbation touches 0:3, and
-    # letting the normal-map channels (3:6, live on the chief) float just
-    # random-walks them under MC noise — measured to *triple* the exact
-    # re-render error while albedo recovered
-    chan_mask = np.zeros((1, 1, 1, 8), np.float32)
-    chan_mask[..., 0:3] = 1.0
-
-    # Common-random-numbers recovery (VERDICT r3 #2). Stochastic-target
-    # attempts are hopeless here — measured per-texel gradient SNR with
-    # independent per-step sampling is ~0.03/step (noise 40x signal;
-    # tools notes r4), which is why r3 capped at 1.64x and a
-    # coarse-to-fine r4.0 attempt random-walked to 0.83x. The target is
-    # OUR OWN render with a known counter-based key lattice, so the
-    # optimization traces the target's exact sample set every step
-    # (crn_key + spb = target spp): Monte-Carlo noise cancels out of the
-    # residual identically, the loss is exactly zero at the true atlas,
-    # and the gradient is deterministic per batch — correlated-sampling
-    # inverse rendering.
-    import jax
-
-    cfg_opt = dataclasses.replace(cfg, samples_per_pixel=128)
-    t0 = time.time()
-    print("optimizing atlas (CRN, 900 steps, 8192 px/step, spb 128)...",
-          flush=True)
-    opt, losses = inverse_render(
-        perturbed, target, cfg_opt,
-        n_steps=900, pixels_per_step=8192, spb=128,
-        learning_rate=1e-2, method="auto", seed=7,
-        trainable=("shade_atlas",),
-        grad_masks={"shade_atlas": chan_mask},
-        roi=ROI, loss_type="mse",
-        crn_key=jax.random.key(cfg.seed),
-        progress=True, log_every=100,
-    )
-    report["optimize_240p_s"] = round(time.time() - t0, 1)
-    with open(os.path.join(ART, "losses_240p.json"), "w") as f:
-        json.dump(losses, f)
-
-    def render_resolved(s):
-        img = np.asarray(render_accumulate(s, cfg, method="auto"))
-        return np.clip(np.sqrt(np.clip(
-            img / cfg.samples_per_pixel, 1e-8, None)), 0, 0.999)
-
-    print("evaluating...", flush=True)
-    r_pert = render_resolved(perturbed)
-    r_opt = render_resolved(opt)
-    r0, r1, c0, c1 = ROI
-
-    def mse(a, b, roi=None):
-        d = (a - b) ** 2
-        if roi:
-            d = d[r0:r1, c0:c1]
-        return float(d.mean())
-
-    mse_pert = mse(r_pert, target, roi=True)
-    mse_opt = mse(r_opt, target, roi=True)
-
-    report.update(
-        loss_first5=float(np.mean(losses[:5])),
-        loss_last30=float(np.mean(losses[-30:])),
-        exact_mse_perturbed=mse_pert,
-        exact_mse_recovered=mse_opt,
-        exact_mse_ratio=round(mse_pert / max(mse_opt, 1e-12), 2),
-        exact_mse_full_perturbed=mse(r_pert, target),
-        exact_mse_full_recovered=mse(r_opt, target),
-        # the declared bar (VERDICT r3 #2): >= 10x exact-MSE improvement
-        pass_mse_improved=bool(mse_pert / max(mse_opt, 1e-12) >= 10.0),
-    )
-
-    def to_u8(x):
-        return np.clip(x, 0, 255).astype(np.uint8)
-
-    write_png(os.path.join(ART, "atlas_true.png"),
-              to_u8(true_atlas[0, ..., 0:3]))
-    write_png(os.path.join(ART, "atlas_pert.png"),
-              to_u8(pert_atlas[0, ..., 0:3]))
-    write_png(os.path.join(ART, "atlas_recovered.png"),
-              to_u8(np.asarray(opt.shade_atlas)[0, ..., 0:3]))
-    write_png(os.path.join(ART, "render_target.png"),
-              to_u8(target * 255.99))
-    write_png(os.path.join(ART, "render_pert.png"), to_u8(r_pert * 255.99))
-    write_png(os.path.join(ART, "render_recovered.png"),
-              to_u8(r_opt * 255.99))
-
-    # visible-texel recovery: texels whose value actually moved
-    moved = np.abs(np.asarray(opt.shade_atlas) - pert_atlas).max(axis=-1) > 1.0
-    if moved.any():
-        e_pert = np.abs(pert_atlas[..., 0:3] - true_atlas[..., 0:3])[moved]
-        e_opt = np.abs(
-            np.asarray(opt.shade_atlas)[..., 0:3] - true_atlas[..., 0:3]
-        )[moved]
-        report["visible_texels"] = int(moved.sum())
-        report["visible_texel_mae_before"] = float(e_pert.mean())
-        report["visible_texel_mae_after"] = float(e_opt.mean())
-
-    # ---------------- phase 2: config 5 vs the reference golden -----
-    from sexy_raytracer_tpu.utils.png import read_png
-
-    golden = read_png("/root/reference/images/test-5kx720p.png", 3)
-    if golden is not None:
-        scene720, cfg720 = presets.masterchief(height=720)
-        print("phase 2: optimizing vs test-5kx720p.png (720p)...", flush=True)
-        t0 = time.time()
-        # densely-observed factors only (the golden embodies the
-        # reference's own quirks; per-texel gradients at 720p are sparse).
-        # Start from PERTURBED factors so the curve demonstrates real
-        # convergence against the reference's own image — the unperturbed
-        # scene already sits at the achievable floor (measured: 200 steps
-        # moved its loss by < 0.005).
-        bc = np.asarray(scene720.mat_base_color).copy()
-        bc[:, :3] *= 0.6
-        ac0 = np.asarray(scene720.mat_albedo_c0) * 0.6
-        pert720 = scene720._replace(
-            mat_base_color=jnp.asarray(bc),
-            mat_albedo_c0=jnp.asarray(ac0),
-        )
-        # huber + more samples per pixel: the r3 run used plain MSE at
-        # spb 8 and the firefly-dominated gradient noise random-walked the
-        # factors (loss 0.0165 -> 0.0181); huber bounds each pixel's pull
-        _, losses720 = inverse_render(
-            pert720, golden.astype(np.float32) / 255.0, cfg720,
-            n_steps=300, pixels_per_step=8192, spb=16,
-            learning_rate=2e-3, method="auto", seed=11,
-            trainable=("mat_base_color", "mat_metallic",
-                       "mat_roughness", "mat_albedo_c0", "mat_albedo_c1"),
-            loss_type="huber",
-            progress=True, log_every=50,
-        )
-        report["optimize_720p_s"] = round(time.time() - t0, 1)
-        with open(os.path.join(ART, "losses_720p.json"), "w") as f:
-            json.dump(losses720, f)
-        report["loss720_first5"] = float(np.mean(losses720[:5]))
-        report["loss720_last30"] = float(np.mean(losses720[-30:]))
-    else:
-        losses720 = None
-
-    # ---------------- plots + report --------------------------------
-    import matplotlib
-
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-
-    fig, ax = plt.subplots(figsize=(7, 4))
-    ax.semilogy(losses, label="240p self-recovery (stochastic)")
-    if losses720:
-        ax.semilogy(losses720, label="720p vs reference golden")
-    ax.set_xlabel("step")
-    ax.set_ylabel("pixel MSE (resolved space)")
-    ax.legend()
-    ax.set_title("inverse rendering loss curves")
-    fig.tight_layout()
-    fig.savefig(os.path.join(ART, "loss_curves.png"), dpi=110)
+        fig, ax = plt.subplots(figsize=(7, 4))
+        for name, ls in curves.items():
+            ax.semilogy(ls, label=name)
+        ax.set_xlabel("step")
+        ax.set_ylabel("pixel loss")
+        ax.legend()
+        ax.set_title("inverse rendering loss curves")
+        fig.tight_layout()
+        fig.savefig(os.path.join(ART, "loss_curves.png"), dpi=110)
 
     report["total_s"] = round(time.time() - t_all, 1)
-    with open(os.path.join(ART, "report.json"), "w") as f:
+    with open(report_path, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2))
 

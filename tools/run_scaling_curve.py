@@ -105,6 +105,13 @@ def main():
             r["mrays_per_s"] / (base * ideal), 3
         )
     art = {
+        "WARNING": (
+            f"{cores} physical CPU cores emulating the devices — this "
+            "measures SPMD sharding MECHANICS only, NOT multi-chip "
+            "scaling evidence. Real-TPU scaling is unverifiable in this "
+            "1-chip environment; cross-process exactness is proven by "
+            "tests/test_distributed.py instead."
+        ),
         "host_physical_cores": cores,
         "note": (
             "strong scaling, fixed total work, virtual CPU devices share "
