@@ -15,6 +15,7 @@ material.h:93,124,209).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -275,10 +276,22 @@ def trace_rays_fused(
         jnp.stack([zeros, zeros, zeros]),
     ])  # [16, RB, 128]
 
-    @functools.partial(
-        jax.checkpoint,
-        policy=jax.checkpoint_policies.save_only_these_names("prim_ids"),
+    # Per-bounce remat is OFF by default for the fused path: the saved
+    # residual stacks are ~80 MB/bounce at the 131k-path training batch
+    # (trivial against HBM), and skipping the backward's forward
+    # recompute is worth 2.9 ms/step device (24.8 -> 22.0, round-5
+    # measurement). SRT_FUSED_REMAT=1 restores the prim-id-only
+    # checkpoint policy for memory-constrained giant batches.
+    _ckpt = (
+        functools.partial(
+            jax.checkpoint,
+            policy=jax.checkpoint_policies.save_only_these_names("prim_ids"),
+        )
+        if os.environ.get("SRT_FUSED_REMAT", "0") == "1"
+        else (lambda f: f)
     )
+
+    @_ckpt
     def bounce(carry, rand):
         org_f = carry[0:3].reshape(3, Rpad).T
         dir_f = carry[3:6].reshape(3, Rpad).T
