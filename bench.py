@@ -156,6 +156,10 @@ def main():
     gtgt = jnp.full((gate_px, 3), 0.25, jnp.float32)
     gbg = jnp.asarray(cfg.background, jnp.float32)
 
+    from sexy_raytracer_tpu.render.integrator import scene_no_emissive_tris
+
+    vis_ok = scene_no_emissive_tris(scene)
+
     def gate_loss(params, fused):
         sc = merge_params(scene, params)
         rad = render_pixels(
@@ -163,6 +167,10 @@ def main():
             width=cfg.width, height=cfg.height, spb=2,
             spp_total=cfg.samples_per_pixel, max_bounce=cfg.max_bounce,
             method="auto", fused=fused,
+            # the gate covers the production path: fused kernels + the
+            # last-bounce visibility shortcut, vs the jnp closest-hit
+            # integrator
+            last_bounce_vis=(fused and vis_ok),
         )
         err = rad / 2 - gtgt
         return jnp.mean(err * err)
@@ -198,7 +206,8 @@ def main():
     optimizer = optax.adam(1e-3)
     params = extract_params(scene)
     state = TrainState(params, optimizer.init(params), jnp.int32(0))
-    step = make_train_step(mesh, cfg, optimizer, spb=spb, method="auto")
+    step = make_train_step(mesh, cfg, optimizer, spb=spb, method="auto",
+                           last_bounce_vis=vis_ok)
 
     scene_r = replicate_scene(scene, mesh)
     # random screen tiles — the realistic inverse-rendering batch shape
@@ -255,7 +264,7 @@ def main():
         render_pixels,
         width=cfg.width, height=cfg.height, spb=spb,
         spp_total=cfg.samples_per_pixel, max_bounce=cfg.max_bounce,
-        method="auto",
+        method="auto", last_bounce_vis=vis_ok,
     ))
     order = tile_pixel_order(cfg.width, cfg.height)
     fpix = jnp.asarray(order[:pixels])

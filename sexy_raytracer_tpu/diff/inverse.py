@@ -53,6 +53,7 @@ def _loss_fn(
     method,
     loss_type="mse",
     huber_delta=0.1,
+    last_bounce_vis=False,
 ):
     full = merge_params(scene, params)
     rad = render_pixels(
@@ -68,6 +69,7 @@ def _loss_fn(
         spp_total=spp_total,
         max_bounce=max_bounce,
         method=method,
+        last_bounce_vis=last_bounce_vis,
     )
     if loss_type == "tile_linear":
         # Tile-averaged UNBIASED linear loss for stochastic-target
@@ -199,6 +201,7 @@ def make_train_step(
     loss_type: str = "mse",
     huber_delta: float = 0.1,
     param_transform=None,
+    last_bounce_vis: bool = False,
 ):
     """Build a jitted SPMD train step.
 
@@ -232,6 +235,7 @@ def make_train_step(
         method=method,
         loss_type=loss_type,
         huber_delta=huber_delta,
+        last_bounce_vis=last_bounce_vis,
     )
     background = jnp.asarray(config.background, jnp.float32)
 

@@ -201,6 +201,34 @@ def _sph_candidates(scene, org, dir, time, t_min):
     return best, jnp.where(jnp.isfinite(best), arg, -1)
 
 
+def emissive_sphere_hit(scene, org, dir, time, t_min):
+    """Closest EMISSIVE-sphere hit -> ``(t [R] (+inf = none), prim [R])``.
+
+    ``prim`` is the global primitive id (T + sphere index, -1 = none).
+    Root selection matches :func:`sphere_roots` (and therefore the
+    production find kernels) exactly. Used by the last-bounce visibility
+    shortcut (render/integrator): at the final bounce only the closest
+    hit's emission matters, so closest-hit factors into this tiny [R, S]
+    solve plus an any-hit occlusion query (ops/pallas_find.find_occluded).
+    """
+    from sexy_raytracer_tpu.models.scene import MAT_LIGHT
+
+    S = scene.sph_c0.shape[0]
+    R = org.shape[0]
+    if S == 0:
+        return (jnp.full((R,), jnp.inf),
+                jnp.full((R,), -1, jnp.int32))
+    emis = scene.mat_type[scene.sph_mat] == MAT_LIGHT
+    root, valid = sphere_roots(scene, org, dir, time, t_min)
+    valid = valid & emis[None, :]
+    t = jnp.where(valid, root, jnp.inf)
+    best = jnp.min(t, axis=1)
+    arg = jnp.argmin(t, axis=1).astype(jnp.int32)
+    T = scene.tri_v0.shape[0]
+    prim = jnp.where(jnp.isfinite(best), T + arg, -1)
+    return (jax.lax.stop_gradient(best), jax.lax.stop_gradient(prim))
+
+
 def find_hit_bruteforce(scene, org, dir, time, t_min=None, tri_tile=512):
     """All-primitives closest hit. Returns ``(prim_id [R] int32, t [R])``.
 

@@ -177,6 +177,12 @@ def _find_kernel(n_tris, n_sph, lists_ref, rays_ref, rays_t_ref, tri_ref,
     tri_ref    [NC, 16, CK] triangle plane/edge pack
     sph_ref    [Spad, 8]: base xyz, delta xyz, radius, valid (columns)
     out: [BR, 1] f32 best t, [BR, 1] int32 global prim id (-1 miss)
+
+    A per-lane mesh-AABB-entry gate on the early-out was tried and
+    REVERTED (round-5): with 128 diffuse lanes per block the probability
+    that EVERY lane is resolvable is tiny, so the block-granular
+    early-out fired no earlier, and the extra [BR,1] where/bitcast/max
+    per while iteration cost ~0.3 ms per 131k-ray call.
     """
     b = pl.program_id(0)
     BR = rays_ref.shape[0]
@@ -225,9 +231,6 @@ def _find_kernel(n_tris, n_sph, lists_ref, rays_ref, rays_t_ref, tri_ref,
     out_i_ref[...] = jnp.where(best_t0 < _BIG, best_i0, -1)
 
 
-# ---------------------------------------------------------------------------
-# host-side packing
-# ---------------------------------------------------------------------------
 
 def _pack_triangles(scene):
     """[NC, 16, CK] plane/edge pack: rows n(3), d, q(9 interleaved), c(3)."""
@@ -634,6 +637,253 @@ def find_hit_clustered(scene, org, dir, time, t_min=None, cull=True,
     t = jnp.where(prim >= 0, t, jnp.inf)
     return prim, t
 
+
+
+# ---------------------------------------------------------------------------
+# any-hit occlusion kernel (last-bounce emissive-visibility query)
+# ---------------------------------------------------------------------------
+# At the LAST bounce the integrator only needs the closest hit's *emitted*
+# radiance (the scattered ray is never traced — reference main.cpp:36-37's
+# depth-out returns black). Emissive primitives are few (diffuseLight
+# spheres, main.cpp:126-127), so "closest hit's emission" factors into:
+#   t_em   = closest hit among EMISSIVE primitives (tiny: jnp over [R, S])
+#   occ    = EXISTS a non-emissive hit with t in [t_min, t_em)   <- here
+#   result = occ ? 0 : (t_em finite ? emitted(t_em prim) : background)
+# The any-hit query is far cheaper than closest-hit: a lane dies on its
+# FIRST occluder (most last-bounce rays are killed by the r=1000 ground
+# sphere before any triangle work), so the cluster while-loop early-out
+# fires almost immediately. Caller gating: only valid when no TRIANGLE is
+# emissive (render/integrator.scene_no_emissive_tris).
+
+
+def _tri_tile_any(tile, ox, oy, oz, dx, dy, dz, t_min, bound):
+    """Any triangle in the [16, CK] tile hit with t_min <= t < bound?"""
+    nx, ny, nz = tile[0:1, :], tile[1:2, :], tile[2:3, :]
+    d = tile[3:4, :]
+    ndir = dx * nx + dy * ny + dz * nz
+    a_n = ox * nx + oy * ny + oz * nz + d
+    plane_ok = ndir <= -EPSILON
+    t = -a_n / jnp.where(plane_ok, ndir, -1.0)
+    px = ox + t * dx
+    py = oy + t * dy
+    pz = oz + t * dz
+    e0 = tile[4:5] * px + tile[5:6] * py + tile[6:7] * pz - tile[7:8]
+    e1 = tile[8:9] * px + tile[9:10] * py + tile[10:11] * pz - tile[11:12]
+    e2 = tile[12:13] * px + tile[13:14] * py + tile[14:15] * pz - tile[15:16]
+    valid = (
+        plane_ok
+        & (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+        & (t >= t_min) & (t < bound)
+    )
+    return jnp.any(valid, axis=1, keepdims=True)       # [BR, 1]
+
+
+def _occluded_kernel(n_tris, n_sph, lists_ref, rays_ref, rays_t_ref,
+                     tri_ref, sph_ref, out_ref):
+    """Grid (NB,). rays carry 9 columns: ox oy oz dx dy dz time t_min
+    t_bound. out: [BR, 1] int32, 1 = a non-emissive hit exists before
+    t_bound. Lanes with t_bound < 0 are inert (dead lanes)."""
+    b = pl.program_id(0)
+    BR = rays_ref.shape[0]
+
+    # ---- occluder spheres (transposed layout), nearest-valid-root < bound
+    if n_sph > 0:
+        rays_t = rays_t_ref[...]
+        oxl, oyl, ozl = rays_t[0:1, :], rays_t[1:2, :], rays_t[2:3, :]
+        dxl, dyl, dzl = rays_t[3:4, :], rays_t[4:5, :], rays_t[5:6, :]
+        tml = rays_t[6:7, :]
+        t_min_l = rays_t[7:8, :]
+        bound_l = rays_t[8:9, :]
+        sph = sph_ref[...]
+        bx, by, bz = sph[:, 0:1], sph[:, 1:2], sph[:, 2:3]
+        vx, vy, vz = sph[:, 3:4], sph[:, 4:5], sph[:, 5:6]
+        rad, s_valid = sph[:, 6:7], sph[:, 7:8] > 0.0
+        cx = bx + vx * tml
+        cy = by + vy * tml
+        cz = bz + vz * tml
+        ocx, ocy, ocz = oxl - cx, oyl - cy, ozl - cz
+        a = dxl * dxl + dyl * dyl + dzl * dzl
+        half_b = ocx * dxl + ocy * dyl + ocz * dzl
+        cterm = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+        disc = half_b * half_b - a * cterm
+        has = disc >= 0.0
+        sq = jnp.sqrt(jnp.where(has, disc, 0.0))
+        safe_a = jnp.where(a == 0.0, 1.0, a)
+        root0 = (-half_b - sq) / safe_a
+        root1 = (-half_b + sq) / safe_a
+        ok0 = has & (root0 >= t_min_l) & s_valid
+        ok1 = has & (root1 >= t_min_l) & s_valid
+        # nearest VALID root (closest-hit chooses it; a near root beyond
+        # the bound means the closest intersection is beyond t_em)
+        tc = jnp.where(ok0, root0, jnp.where(ok1, root1, _BIG))
+        # relayout via f32 (Mosaic cannot reshape 1-bit vectors)
+        tc_min = jnp.min(
+            jnp.where(tc < bound_l, tc, _BIG), axis=0, keepdims=True
+        )
+        occ0 = tc_min.reshape(BR, 1) < _BIG
+    else:
+        occ0 = jnp.zeros((BR, 1), bool)
+
+    bound = rays_ref[...][:, 8:9]                      # [BR, 1]
+    bound = jnp.where(occ0, -_BIG, bound)
+
+    n_clusters = tri_ref.shape[0]
+    if n_clusters > 0 and n_tris > 0:
+        rays = rays_ref[...]
+        ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
+        dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
+        t_min = rays[:, 7:8]
+        nc_ids = (lists_ref.shape[1] - 1) // 2
+        count = lists_ref[b, 0]
+
+        # while-loop with the same front-to-back early-out as the
+        # closest-hit kernel, except lanes DIE on their first hit
+        # (bound -> -BIG, whose int bits are negative, so the ordered
+        # entry-distance test exits as soon as every lane is resolved)
+        def cond(state):
+            k, bnd, worst = state
+            return (k < count) & (lists_ref[b, 1 + nc_ids + k] < worst)
+
+        def body(state):
+            k, bnd, worst = state
+            c = lists_ref[b, 1 + k]
+            hit = _tri_tile_any(
+                tri_ref[c], ox, oy, oz, dx, dy, dz, t_min, bnd
+            )
+            bnd = jnp.where(hit, -_BIG, bnd)
+            worst = jnp.max(jax.lax.bitcast_convert_type(bnd, jnp.int32))
+            return (k + 1, bnd, worst)
+
+        init_worst = jnp.max(jax.lax.bitcast_convert_type(bound, jnp.int32))
+        _, bound, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), bound, init_worst)
+        )
+
+    out_ref[...] = (bound < 0.0).astype(jnp.int32)
+
+
+def find_occluded(scene, org, dir, time, t_bound, t_min=None,
+                  sphere_occluder=None, smem_budget=None):
+    """Any-hit query: per ray, does a NON-emissive primitive hit with
+    ``t_min <= t < t_bound``? Returns bool [R].
+
+    ``t_bound`` [R]: the closest emissive hit's t (+BIG when the lane hit
+    no emissive prim — then the query answers "hits anything at all?",
+    deciding background vs black). Negative t_bound marks dead lanes
+    (always reported occluded; callers mask with ``alive``).
+    ``sphere_occluder`` [S] bool: which spheres block light (non-emissive
+    ones). Triangles are all treated as occluders — callers must gate on
+    scene_no_emissive_tris. Matches find_hit_clustered's hit semantics
+    exactly (same tile math / root selection), so occ == (closest hit is
+    not the t_bound prim) up to ties of measure zero.
+    """
+    from sexy_raytracer_tpu.ops.intersect import T_MIN_DEFAULT
+
+    R = org.shape[0]
+    if t_min is None:
+        t_min = jnp.full((R,), T_MIN_DEFAULT, jnp.float32)
+    elif jnp.ndim(t_min) == 0:
+        t_min = jnp.full((R,), t_min, jnp.float32)
+
+    org = jax.lax.stop_gradient(org)
+    dir = jax.lax.stop_gradient(dir)
+    time = jax.lax.stop_gradient(time)
+    t_min = jax.lax.stop_gradient(t_min)
+    t_bound = jax.lax.stop_gradient(t_bound)
+
+    T = scene.tri_v0.shape[0]
+    S = scene.sph_c0.shape[0]
+    if smem_budget is None:
+        smem_budget = WORKLIST_BYTES_MAX
+    nc_est = -(-T // CLUSTER_SIZE)
+    rb = RAY_BLOCK
+    row_bytes = max(-(-(2 * nc_est + 1) // 128) * 128, 128) * 4
+    while (-(-R // rb)) * row_bytes > smem_budget:
+        rb *= 2
+    nb = -(-R // rb)
+    Rpad = nb * rb
+
+    rays = jnp.concatenate(
+        [org, dir, time[:, None], t_min[:, None], t_bound[:, None]], axis=1
+    ).astype(jnp.float32)
+    if Rpad != R:
+        pad = (
+            jnp.zeros((Rpad - R, 9), jnp.float32)
+            .at[:, 7].set(_BIG)
+            .at[:, 8].set(-_BIG)
+        )
+        rays = jnp.concatenate([rays, pad], axis=0)
+    rays_t = rays.T                                    # [9, Rpad]
+
+    # closest occluder-SPHERE t tightens the cull bound: once a sphere
+    # occludes, no triangle cluster can change the answer
+    if T > 0 and S > 0 and sphere_occluder is not None:
+        from sexy_raytracer_tpu.ops.intersect import sphere_roots
+
+        root, valid = sphere_roots(scene, org, dir, time, t_min)
+        valid = valid & sphere_occluder[None, :]
+        so_t = jnp.min(jnp.where(valid, root, _BIG), axis=1)
+        cull_max = jnp.minimum(jnp.maximum(t_bound, 0.0), so_t)
+    else:
+        cull_max = jnp.maximum(t_bound, 0.0)
+    cull_max = jax.lax.stop_gradient(cull_max)
+
+    if T > 0:
+        tri_pack, nc = _pack_triangles(scene)
+        if scene.cluster_min.shape[0] == nc:
+            with jax.named_scope("cluster_lists"):
+                lists = cluster_lists(
+                    org, dir, t_min,
+                    jax.lax.stop_gradient(scene.cluster_min),
+                    jax.lax.stop_gradient(scene.cluster_max),
+                    t_max=cull_max, ray_block=rb,
+                )
+        else:
+            ids = jnp.broadcast_to(jnp.arange(nc, dtype=jnp.int32), (nb, nc))
+            lists = jnp.concatenate(
+                [jnp.full((nb, 1), nc, jnp.int32), ids,
+                 jnp.zeros((nb, nc), jnp.int32)], axis=1
+            )
+    else:
+        tri_pack = jnp.zeros((1, 16, CLUSTER_SIZE), jnp.float32)
+        nc = 0
+        lists = jnp.zeros((nb, 2), jnp.int32)
+
+    sph_pack = (
+        _pack_spheres(scene) if S > 0 else jnp.zeros((8, 8), jnp.float32)
+    )
+    if S > 0 and sphere_occluder is not None:
+        occl = jnp.pad(
+            sphere_occluder.astype(jnp.float32),
+            (0, sph_pack.shape[0] - S),
+        )
+        sph_pack = sph_pack.at[:, 7].set(sph_pack[:, 7] * occl)
+    spad = sph_pack.shape[0]
+
+    kernel = functools.partial(_occluded_kernel, T, S)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((rb, 9), lambda b, s: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, rb), lambda b, s: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(nc, 1), 16, CLUSTER_SIZE),
+                         lambda b, s: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((spad, 8), lambda b, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rb, 1), lambda b, s: (b, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    occ = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Rpad, 1), jnp.int32),
+        interpret=_interpret(),
+    )(lists, rays, rays_t, tri_pack, sph_pack)
+    return occ.reshape(Rpad)[:R] > 0
 
 
 # ---------------------------------------------------------------------------

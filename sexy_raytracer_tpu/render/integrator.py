@@ -38,18 +38,48 @@ def trace_rays(
     max_bounce: int,
     method: str = "auto",
     fused=None,
+    last_bounce_vis: bool = False,
 ):
     """Dispatch: the fused-kernel integrator on TPU (or when ``fused=True``),
-    the reference jnp integrator otherwise (``fused=False`` forces it)."""
+    the reference jnp integrator otherwise (``fused=False`` forces it).
+
+    ``last_bounce_vis``: enable the last-bounce emissive-visibility
+    shortcut in the fused integrator (see trace_rays_fused). Only valid
+    when no triangle is emissive — callers derive it from
+    :func:`scene_no_emissive_tris` on a CONCRETE scene.
+    """
     if fused is None:
         fused = jax.default_backend() in ("tpu", "axon")
     if fused:
         return trace_rays_fused(
-            scene, org, dir, time, keys, background, max_bounce, method
+            scene, org, dir, time, keys, background, max_bounce, method,
+            last_bounce_vis=last_bounce_vis,
         )
     return trace_rays_jnp(
         scene, org, dir, time, keys, background, max_bounce, method
     )
+
+
+def scene_no_emissive_tris(scene) -> bool:
+    """True iff no triangle's material is emissive, checked CONCRETELY.
+
+    Returns False for traced scenes (inside jit), so jit-built call sites
+    must compute this OUTSIDE the traced region and thread it through as
+    a static argument. Gates the last-bounce visibility shortcut: an
+    emissive triangle would be misclassified as an occluder there.
+    """
+    import numpy as np
+
+    from sexy_raytracer_tpu.models.scene import MAT_LIGHT
+
+    try:
+        mt = np.asarray(scene.mat_type)
+        tm = np.asarray(scene.tri_mat)
+    except Exception:
+        return False
+    if tm.size == 0:
+        return True
+    return not bool(np.any(mt[tm] == MAT_LIGHT))
 
 
 def trace_rays_jnp(
@@ -149,6 +179,7 @@ def trace_rays_fused(
     background,
     max_bounce: int,
     method: str = "auto",
+    last_bounce_vis: bool = False,
 ):
     """Fused-kernel integrator: same math as :func:`trace_rays_jnp`, with
     the per-bounce hit-record and shade/carry elementwise chains collapsed
@@ -291,23 +322,20 @@ def trace_rays_fused(
         else (lambda f: f)
     )
 
-    @_ckpt
-    def bounce(carry, rand):
-        org_f = carry[0:3].reshape(3, Rpad).T
-        dir_f = carry[3:6].reshape(3, Rpad).T
+    def shade_from_prim(carry, rand, prim, bg_rows_b, tris_possible=True):
+        """Everything after hit search: gathers + the two fused kernels.
+
+        ``tris_possible=False`` (the visibility tail) statically skips the
+        triangle-row gather — the tail's prim ids are sphere-only.
+        ``bg_rows_b``: per-lane background (the tail zeroes occluded
+        lanes' background to encode "hit a non-emissive occluder").
+        """
         alive = carry[12].reshape(Rpad) > 0.5
         t_min = jnp.where(alive, T_MIN_DEFAULT, _BIG)
-        time_f = time_row.reshape(Rpad)
-        with jax.named_scope("find_hit"):
-            prim, _t = find_hit(
-                scene, org_f, dir_f, time_f, t_min=t_min, method=method
-            )
-            prim = checkpoint_name(prim, "prim_ids")
-
         hit = prim >= 0
         is_tri = hit & (prim < T)
         is_sph = hit & (prim >= T)
-        if T > 0:
+        if T > 0 and tris_possible:
             g = table_lookup(
                 tri_pack, jnp.clip(jnp.where(is_tri, prim, 0), 0, T - 1)
             )
@@ -383,11 +411,79 @@ def trace_rays_fused(
                 rowsK(gf),
                 rowsK(pack),
                 rand,
-                bg_rows,
+                bg_rows_b,
             ])
             si = rowsK(gi[:, jnp.array([0, 1, 2, 3, 4, 8])]).astype(jnp.int32)
             new_carry = shade_carry_fused(sf, si)
-        return new_carry, None
+        return new_carry
 
-    final, _ = jax.lax.scan(bounce, carry0, rand_all, unroll=True)
+    @_ckpt
+    def bounce(carry, rand):
+        org_f = carry[0:3].reshape(3, Rpad).T
+        dir_f = carry[3:6].reshape(3, Rpad).T
+        alive = carry[12].reshape(Rpad) > 0.5
+        t_min = jnp.where(alive, T_MIN_DEFAULT, _BIG)
+        time_f = time_row.reshape(Rpad)
+        with jax.named_scope("find_hit"):
+            prim, _t = find_hit(
+                scene, org_f, dir_f, time_f, t_min=t_min, method=method
+            )
+            prim = checkpoint_name(prim, "prim_ids")
+        return shade_from_prim(carry, rand, prim, bg_rows), None
+
+    @_ckpt
+    def bounce_tail_vis(carry, rand, prim, bg_rows_b):
+        return shade_from_prim(
+            carry, rand, prim, bg_rows_b, tris_possible=False
+        )
+
+    # Last-bounce visibility shortcut (round-5 perf): the final bounce's
+    # contribution is the closest hit's EMISSION only (the scattered ray
+    # is never traced — depth-out returns black, reference main.cpp:36-37).
+    # Closest-hit therefore factors into a tiny closest-EMISSIVE-sphere
+    # solve plus an any-hit occlusion query, which early-outs on the first
+    # occluder instead of searching for the nearest (~2.5x cheaper than
+    # the full find on the flagship). Callers enable it only after a
+    # concrete no-emissive-triangles check (scene_no_emissive_tris).
+    n_scan = max_bounce - 1 if last_bounce_vis else max_bounce
+    if n_scan > 0:
+        final, _ = jax.lax.scan(
+            bounce, carry0, rand_all[:n_scan], unroll=True
+        )
+    else:
+        final = carry0
+    if last_bounce_vis:
+        from sexy_raytracer_tpu.models.scene import MAT_LIGHT
+        from sexy_raytracer_tpu.ops.intersect import emissive_sphere_hit
+        from sexy_raytracer_tpu.ops.pallas_find import find_occluded
+
+        org_f = final[0:3].reshape(3, Rpad).T
+        dir_f = final[3:6].reshape(3, Rpad).T
+        alive = final[12].reshape(Rpad) > 0.5
+        t_min = jnp.where(alive, T_MIN_DEFAULT, _BIG)
+        time_f = time_row.reshape(Rpad)
+        with jax.named_scope("emissive_vis"):
+            t_em, em_prim = emissive_sphere_hit(
+                scene, org_f, dir_f, time_f, t_min
+            )
+            emis = jax.lax.stop_gradient(
+                scene.mat_type[scene.sph_mat] == MAT_LIGHT
+            )
+            bound = jnp.where(
+                alive,
+                jnp.where(jnp.isfinite(t_em), t_em, _BIG),
+                -_BIG,
+            )
+            occ = find_occluded(
+                scene, org_f, dir_f, time_f, bound, t_min=t_min,
+                sphere_occluder=~emis,
+            )
+            prim = jnp.where((~occ) & jnp.isfinite(t_em), em_prim, -1)
+            prim = checkpoint_name(prim, "prim_ids")
+            # occluded lanes hit a non-emissive prim: no background, no
+            # emission -> encode as miss-with-zero-background
+            occ_row = prow(occ.astype(jnp.float32))
+            bg_tail = jnp.where(occ_row[None] > 0.5, 0.0, bg_rows)
+        final = bounce_tail_vis(final, rand_all[max_bounce - 1], prim,
+                                bg_tail)
     return final[9:12].reshape(3, Rpad).T[:R0]

@@ -44,6 +44,7 @@ def render_pixels(
     max_bounce: int,
     method: str,
     fused=None,
+    last_bounce_vis: bool = False,
 ):
     """Pure chunk body: trace ``spb`` samples per pixel id -> radiance sums
     [C,3]. Differentiable w.r.t. scene/camera arrays; reused by the jitted
@@ -65,7 +66,7 @@ def render_pixels(
     org, direction, time = camera.get_rays(u, v, ucam[..., 2:5])
     radiance = trace_rays(
         scene, org, direction, time, keys, background, max_bounce, method,
-        fused=fused,
+        fused=fused, last_bounce_vis=last_bounce_vis,
     )
     # drop overshoot samples (sid >= spp_total): the SPMD driver's final
     # round traces a full spb per sample-shard even when spp is not
@@ -79,7 +80,7 @@ def render_pixels(
 render_chunk = functools.partial(
     jax.jit,
     static_argnames=("width", "height", "spb", "spp_total", "max_bounce",
-                     "method", "fused"),
+                     "method", "fused", "last_bounce_vis"),
 )(render_pixels)
 
 
@@ -141,6 +142,11 @@ def render_accumulate(
 
     P = W * H
     chunk = max(1, min(config.rays_per_chunk // spb, P))
+    # last-bounce emissive-visibility shortcut: safe because the scene is
+    # concrete here (render/integrator.scene_no_emissive_tris)
+    from sexy_raytracer_tpu.render.integrator import scene_no_emissive_tris
+
+    vis_ok = scene_no_emissive_tris(scene)
     accum = np.zeros((P, 3), np.float32)
     units_done = 0
 
@@ -205,6 +211,7 @@ def render_accumulate(
                 spp_total=spp,
                 max_bounce=config.max_bounce,
                 method=method,
+                last_bounce_vis=vis_ok,
             )
             chunk_accum = chunk_accum + out
             chunk_paths += n_valid * n_s

@@ -62,6 +62,61 @@ def test_fused_radiance_matches_jnp(wavefront):
                                atol=2e-5, rtol=1e-5)
 
 
+def test_last_bounce_vis_radiance_matches_jnp(wavefront):
+    """The last-bounce emissive-visibility shortcut (closest emissive
+    sphere + any-hit occlusion, ops/pallas_find.find_occluded) must equal
+    the full closest-hit integrator — it replaces the final find_hit on
+    the production TPU path."""
+    scene, org, dirs, times, keys, bg = wavefront
+    from sexy_raytracer_tpu.render.integrator import scene_no_emissive_tris
+
+    assert scene_no_emissive_tris(scene)
+    for bounces in (1, 3):
+        r1 = trace_rays_jnp(scene, org, dirs, times, keys, bg, bounces,
+                            method="bruteforce")
+        r2 = trace_rays_fused(scene, org, dirs, times, keys, bg, bounces,
+                              method="bruteforce", last_bounce_vis=True)
+        np.testing.assert_allclose(np.asarray(r1), np.asarray(r2),
+                                   atol=2e-5, rtol=1e-5)
+
+
+def test_last_bounce_vis_gradients_match_jnp(wavefront):
+    scene, org, dirs, times, keys, bg = wavefront
+    params = extract_params(scene)
+    tgt = jnp.full((org.shape[0], 3), 0.3)
+
+    def loss(p, tracer, **kw):
+        s = merge_params(scene, p)
+        rad = tracer(s, org, dirs, times, keys, bg, 3,
+                     method="bruteforce", **kw)
+        res = jnp.clip(jnp.sqrt(jnp.clip(rad, 1e-8, None)), 0.0, 0.999)
+        return jnp.mean((res - tgt) ** 2)
+
+    g1 = jax.grad(lambda p: loss(p, trace_rays_jnp))(params)
+    g2 = jax.grad(
+        lambda p: loss(p, trace_rays_fused, last_bounce_vis=True)
+    )(params)
+    for k in g1:
+        a, b = np.asarray(g1[k]), np.asarray(g2[k])
+        assert np.isfinite(b).all(), k
+        scale = max(np.abs(a).max(), 1e-10)
+        assert np.abs(a - b).max() / scale < 5e-4, (
+            f"{k}: rel diff {np.abs(a - b).max() / scale}"
+        )
+
+
+def test_scene_no_emissive_tris_gate():
+    """An emissive TRIANGLE must disable the visibility shortcut."""
+    from sexy_raytracer_tpu.render.integrator import scene_no_emissive_tris
+
+    b = SceneBuilder()
+    lm = b.add_light_material(color=(5, 5, 5))
+    b.add_mesh([[-1, 0, -2], [1, 0, -2], [0, 2, -2]],
+               [[0, 0], [1, 0], [0.5, 1]], [[0, 1, 2]], lm)
+    scene = b.build(build_bvh=False)
+    assert not scene_no_emissive_tris(scene)
+
+
 def test_fused_gradients_match_jnp(wavefront):
     scene, org, dirs, times, keys, bg = wavefront
     params = extract_params(scene)
