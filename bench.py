@@ -205,9 +205,11 @@ def main():
     pixels = 32768  # 131072 paths per step per device group
     optimizer = optax.adam(1e-3)
     params = extract_params(scene)
-    state = TrainState(params, optimizer.init(params), jnp.int32(0))
     step = make_train_step(mesh, cfg, optimizer, spb=spb, method="auto",
-                           last_bounce_vis=vis_ok)
+                           last_bounce_vis=vis_ok, donate_state=True)
+    # flat state domain: keeps the atlas parameter/adam moments in 1-D at
+    # the jit boundary, avoiding ~1.6 ms/step of layout copies
+    state = step.init(params)
 
     scene_r = replicate_scene(scene, mesh)
     # random screen tiles — the realistic inverse-rendering batch shape
@@ -246,7 +248,8 @@ def main():
     mfu_vpu = None
     try:
         cost = (
-            step.lower(state, scene_r, camera, pix, tgt, jax.random.key(0))
+            jax.jit(step)
+            .lower(state, scene_r, camera, pix, tgt, jax.random.key(0))
             .compile()
             .cost_analysis()
         )
@@ -286,10 +289,18 @@ def main():
     from sexy_raytracer_tpu.render.renderer import render_accumulate
 
     frame_spp = 32
-    t0 = time.time()
-    render_accumulate(scene, replace(cfg, samples_per_pixel=frame_spp),
-                      method="auto")
-    frame_s = time.time() - t0
+    # run the frame twice and report the min: the first run pays 30-45 s
+    # of per-process compilation that the persistent cache does not absorb
+    # across processes on this backend (measured frame0 44.7 s vs frame1
+    # 6.1 s, round-5), and spp_total is a STATIC jit arg so a cheaper-spp
+    # warm-up compiles different executables and warms nothing
+    frame_s = None
+    for _ in range(2):
+        t0 = time.time()
+        render_accumulate(scene, replace(cfg, samples_per_pixel=frame_spp),
+                          method="auto")
+        dt = time.time() - t0
+        frame_s = dt if frame_s is None else min(frame_s, dt)
     flagship_est_s = frame_s * 5000.0 / frame_spp
 
     print(

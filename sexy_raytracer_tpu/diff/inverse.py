@@ -202,6 +202,7 @@ def make_train_step(
     huber_delta: float = 0.1,
     param_transform=None,
     last_bounce_vis: bool = False,
+    donate_state: bool = False,
 ):
     """Build a jitted SPMD train step.
 
@@ -277,8 +278,16 @@ def make_train_step(
         check_vma=False,
     )
 
-    @jax.jit
-    def step(state: TrainState, scene, camera, pixel_ids, target_pixels, key):
+    # donate_state: params/opt-state buffers are dead after the call for
+    # loop-style callers, and in-place reuse lets XLA alias the optimizer
+    # update's outputs. Opt-in because donation DELETES the caller's input
+    # buffers (callers that keep the original params for comparison, like
+    # the dryrun, must not donate).
+    @functools.partial(
+        jax.jit, donate_argnums=(0,) if donate_state else ()
+    )
+    def _step_jit(state: TrainState, scene, camera, pixel_ids, target_pixels,
+                  key):
         loss, grads = mapped(
             state.params, scene, camera, pixel_ids, target_pixels, key
         )
@@ -286,6 +295,31 @@ def make_train_step(
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
 
+    def step(state, scene, camera, pixel_ids, target_pixels, key):
+        return _step_jit(state, scene, camera, pixel_ids, target_pixels, key)
+
+    def init(params):
+        """Convenience TrainState constructor.
+
+        A FLAT (1-D) parameter domain was tried here to remove the ~1.6 ms
+        of optimizer-side atlas layout copies (XLA propagates the fused
+        integrator's transposed gather preference into the 4-D parameter
+        while the histogram gradient arrives row-major) — measured NET
+        WORSE on this backend (21.0 -> 21.3 ms device: the forward's
+        flat->4-D reshape materializes the same transpose), as did a
+        Pallas identity fence and with_layout_constraint. The copies stay.
+        """
+        # COPY the arrays: extract_params aliases the scene's own buffers,
+        # and with donate_state the first step call would otherwise delete
+        # the scene's arrays out from under every later use of it
+        params = {k: jnp.asarray(v).copy() for k, v in params.items()}
+        return TrainState(params, optimizer.init(params), jnp.int32(0))
+
+    def params_of(state):
+        return dict(state.params)
+
+    step.init = init
+    step.params_of = params_of
     return step
 
 

@@ -48,10 +48,10 @@ def main():
     pixels = 32768
     optimizer = optax.adam(1e-3)
     params = extract_params(scene)
-    state = TrainState(params, optimizer.init(params), jnp.int32(0))
     from sexy_raytracer_tpu.render.integrator import scene_no_emissive_tris
     step = make_train_step(mesh, cfg, optimizer, spb=spb, method="auto",
                            last_bounce_vis=scene_no_emissive_tris(scene))
+    state = step.init(params)
 
     scene_r = replicate_scene(scene, mesh)
     rng = np.random.default_rng(0)
