@@ -432,11 +432,16 @@ def inverse_render(
     optimizer = make_optimizer(
         params, learning_rate, lr_overrides, decay_steps=n_steps
     )
+    from sexy_raytracer_tpu.render.integrator import scene_no_emissive_tris
+
     state = TrainState(params, optimizer.init(params), jnp.int32(0))
     step = make_train_step(
         mesh, config, optimizer, spb=spb, method=method,
         grad_masks=grad_masks, loss_type=loss_type, huber_delta=huber_delta,
         param_transform=param_transform,
+        # bit-identical to the closest-hit path (see trace_rays_fused);
+        # the scene is concrete here so the gate is decidable
+        last_bounce_vis=scene_no_emissive_tris(scene),
     )
 
     W, H = config.width, config.height
